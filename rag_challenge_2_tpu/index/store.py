@@ -1,0 +1,123 @@
+"""Index persistence.
+
+The reference persists one ``<sha1>.faiss`` + one ``<sha1>.pkl`` per
+document (reference src/ingestion.py:92-102, :43-47).  We persist the whole
+corpus index as a single ``.npz`` (device arrays → numpy) plus a JSON
+sidecar for host metadata — append-only, numbered like the reference's
+never-overwrite convention (reference src/pipeline.py:233-252 is mirrored
+in pipeline/paths.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schema import CorpusIndex, CorpusMeta, DocMeta, SparseIndex
+
+_FORMAT_VERSION = 1
+
+
+def save_index(path: Path, idx: CorpusIndex, meta: Optional[CorpusMeta] = None) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {
+        "emb": np.asarray(idx.emb),
+        "doc_id": np.asarray(idx.doc_id),
+        "page": np.asarray(idx.page),
+        "year": np.asarray(idx.year),
+        "company_id": np.asarray(idx.company_id),
+        "kind": np.asarray(idx.kind),
+        "page_seg": np.asarray(idx.page_seg),
+        "chunk_in_doc": np.asarray(idx.chunk_in_doc),
+        "valid": np.asarray(idx.valid),
+    }
+    statics = {
+        "version": _FORMAT_VERSION,
+        "n_chunks": idx.n_chunks,
+        "n_pages": idx.n_pages,
+        "n_docs": idx.n_docs,
+        "dim": idx.dim,
+        "emb_dtype": str(np.asarray(idx.emb).dtype),
+        "has_sparse": idx.sparse is not None,
+    }
+    if idx.sparse is not None:
+        sp = idx.sparse
+        arrays.update(
+            sp_indptr=np.asarray(sp.indptr),
+            sp_chunk_ids=np.asarray(sp.chunk_ids),
+            sp_tf=np.asarray(sp.tf),
+            sp_df=np.asarray(sp.df),
+            sp_chunk_len=np.asarray(sp.chunk_len),
+            sp_avgdl=np.asarray(sp.avgdl),
+        )
+        statics["sp_vocab_bits"] = sp.vocab_bits
+        statics["sp_max_postings"] = sp.max_postings
+    np.savez_compressed(path, __statics__=json.dumps(statics), **arrays)
+
+    if meta is not None:
+        side = {
+            "docs": [dataclasses.asdict(d) for d in meta.docs],
+            "companies": meta.companies,
+            "chunk_texts": meta.chunk_texts,
+            "page_texts": {str(k): v for k, v in meta.page_texts.items()},
+            "page_seg_info": [list(t) for t in meta.page_seg_info],
+        }
+        with open(str(path) + ".meta.json", "w", encoding="utf-8") as f:
+            json.dump(side, f, ensure_ascii=False)
+
+
+def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Optional[CorpusMeta]]:
+    path = Path(path)
+    z = np.load(path, allow_pickle=False)
+    statics = json.loads(str(z["__statics__"]))
+    sparse = None
+    if statics.get("has_sparse"):
+        sparse = SparseIndex(
+            indptr=jnp.asarray(z["sp_indptr"]),
+            chunk_ids=jnp.asarray(z["sp_chunk_ids"]),
+            tf=jnp.asarray(z["sp_tf"]),
+            df=jnp.asarray(z["sp_df"]),
+            chunk_len=jnp.asarray(z["sp_chunk_len"]),
+            avgdl=jnp.asarray(z["sp_avgdl"]),
+            vocab_bits=statics["sp_vocab_bits"],
+            max_postings=statics["sp_max_postings"],
+        )
+    idx = CorpusIndex(
+        emb=jnp.asarray(z["emb"]),
+        doc_id=jnp.asarray(z["doc_id"]),
+        page=jnp.asarray(z["page"]),
+        year=jnp.asarray(z["year"]),
+        company_id=jnp.asarray(z["company_id"]),
+        kind=jnp.asarray(z["kind"]),
+        page_seg=jnp.asarray(z["page_seg"]),
+        chunk_in_doc=jnp.asarray(z["chunk_in_doc"]),
+        valid=jnp.asarray(z["valid"]),
+        sparse=sparse,
+        n_chunks=statics["n_chunks"],
+        n_pages=statics["n_pages"],
+        n_docs=statics["n_docs"],
+        dim=statics["dim"],
+    )
+    if device_put:
+        idx = jax.device_put(idx)
+
+    meta = None
+    meta_path = Path(str(path) + ".meta.json")
+    if meta_path.exists():
+        with open(meta_path, "r", encoding="utf-8") as f:
+            side = json.load(f)
+        meta = CorpusMeta(
+            docs=[DocMeta(**d) for d in side["docs"]],
+            companies=side["companies"],
+            chunk_texts=side["chunk_texts"],
+            page_texts={int(k): v for k, v in side["page_texts"].items()},
+            page_seg_info=[tuple(t) for t in side["page_seg_info"]],
+        )
+    return idx, meta

@@ -1,0 +1,116 @@
+"""Batched BM25 scoring over the corpus-wide CSR term index.
+
+TPU-native replacement for per-document ``BM25Okapi.get_scores``
+(reference src/ingestion.py:19-22 builds, src/retrieval.py:261-262 scores).
+The device never loops over documents: queries arrive as padded term-id
+batches, postings are gathered per term with a static window, and
+contributions scatter-add into one ``[B, N]`` score matrix.  Company/year
+routing is applied by the caller as a mask — same predicate as the dense
+path, replacing the reference's per-company file selection.
+
+Scoring model: Okapi BM25 with the non-negative (Lucene-style) idf
+``log(1 + (N - df + 0.5)/(df + 0.5))``.  Exact numeric parity with
+rank-bm25 is impossible anyway because the reference tokenises Chinese with
+``str.split()`` (a known defect, SURVEY.md §7) while we tokenise properly
+(utils/tokenize.py); the sparse path targets retrieval quality, not score
+equality.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..index.schema import SparseIndex
+
+
+@functools.partial(jax.jit, static_argnames=("window", "n_rows", "k1", "b"))
+def _bm25_scores_impl(
+    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *, window, n_rows, k1, b
+):
+    B, T = query_terms.shape
+    n_corpus = jnp.maximum(jnp.sum(chunk_len > 0).astype(jnp.float32), 1.0)
+
+    terms = jnp.maximum(query_terms, 0)
+    starts = indptr[terms]                      # [B, T]
+    counts = indptr[terms + 1] - starts         # [B, T]
+    counts = jnp.where(query_terms >= 0, counts, 0)
+
+    offs = jnp.arange(window, dtype=jnp.int32)  # [W]
+    pos = starts[..., None] + offs              # [B, T, W]
+    in_window = offs[None, None, :] < counts[..., None]
+    pos = jnp.clip(pos, 0, chunk_ids.shape[0] - 1)
+
+    rows = chunk_ids[pos]                       # [B, T, W]
+    tfv = tf[pos]                               # [B, T, W]
+
+    dfv = df[terms]                             # [B, T]
+    idf = jnp.log1p((n_corpus - dfv + 0.5) / (dfv + 0.5))
+    idf = jnp.where(query_terms >= 0, idf, 0.0)
+
+    dl = chunk_len[rows]
+    denom = tfv + k1 * (1.0 - b + b * dl / avgdl)
+    contrib = idf[..., None] * tfv * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
+    contrib = jnp.where(in_window, contrib, 0.0)
+
+    rows_flat = rows.reshape(B, T * window)
+    contrib_flat = contrib.reshape(B, T * window)
+    scores = jnp.zeros((B, n_rows), jnp.float32)
+    scores = jax.vmap(lambda s, r, c: s.at[r].add(c))(scores, rows_flat, contrib_flat)
+    return scores
+
+
+def bm25_scores(
+    sparse: SparseIndex,
+    query_terms: jax.Array,
+    n_rows: int,
+    *,
+    k1: float = 1.5,
+    b: float = 0.75,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Score every corpus row for each query.
+
+    Args:
+        sparse: the corpus CSR term index.
+        query_terms: ``[B, T]`` hashed term ids, padded with -1.
+        n_rows: padded corpus row count (``CorpusIndex.n_pad``).
+        window: static per-term posting gather width; defaults to the
+            longest posting list in the index (exact).  Postings beyond the
+            window are ignored — cap long lists at build time via
+            ``max_postings_per_term`` to bound this.
+
+    Returns:
+        ``[B, n_rows]`` float32 BM25 scores (0 where no term matches).
+    """
+    W = int(window or max(sparse.max_postings, 1))
+    return _bm25_scores_impl(
+        sparse.indptr,
+        sparse.chunk_ids,
+        sparse.tf,
+        sparse.df,
+        sparse.chunk_len,
+        sparse.avgdl,
+        query_terms,
+        window=W,
+        n_rows=n_rows,
+        k1=k1,
+        b=b,
+    )
+
+
+def encode_queries(texts, max_terms: int = 64, vocab_bits: int = 20):
+    """Host-side: tokenize + hash query texts into a padded [B, T] id batch."""
+    import numpy as np
+
+    from ..utils import tokenize as tok
+
+    B = len(texts)
+    out = np.full((B, max_terms), -1, np.int32)
+    for i, t in enumerate(texts):
+        ids = tok.token_ids(t, vocab_bits)[:max_terms]
+        out[i, : len(ids)] = ids
+    return jnp.asarray(out)

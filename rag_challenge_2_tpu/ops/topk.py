@@ -1,0 +1,78 @@
+"""Exact dense inner-product top-k over HBM-resident embeddings.
+
+TPU-native replacement for ``faiss.IndexFlatIP.search``
+(reference src/ingestion.py:82-83 builds the index; reference
+src/retrieval.py:1140,1165,1261 and the SSG/Triangulation hop loops
+:622,:730 search it).  Two implementations:
+
+* ``xla``   — ``scores = q @ E.T`` + ``lax.top_k``.  XLA fuses the mask and
+  handles any size; materialises ``[B, N]`` scores in HBM, so it is
+  bandwidth-bound for very large N.
+* ``pallas`` — tiled matmul with a fused running top-k held in VMEM
+  (ops/pallas_topk.py): scores never touch HBM.  Used on TPU for large N.
+
+Both return identical results (ties broken by lower index first).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -3.0e38  # plain float so Pallas kernels don't capture a traced const
+
+
+def _mask_scores(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    if mask is None:
+        return scores
+    if mask.ndim == 1:
+        mask = mask[None, :]
+    return jnp.where(mask, scores, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _xla_topk(q: jax.Array, emb: jax.Array, mask: Optional[jax.Array], k: int):
+    # HIGHEST → true f32 accumulation on the MXU (FAISS-exact parity);
+    # the bench has a separate bf16 fast path where recall tolerates it.
+    scores = jnp.dot(
+        q, emb.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    scores = _mask_scores(scores, mask)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
+def dense_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k inner products of each query row against all embedding rows.
+
+    Args:
+        q: ``[B, D]`` queries (f32 or bf16).
+        emb: ``[N, D]`` corpus embeddings.
+        k: number of neighbours (static).
+        mask: optional ``[N]`` or ``[B, N]`` bool — False rows are excluded
+            (year/company routing, visited sets, padding).
+        impl: "xla", "pallas", or "auto" (pallas on TPU when N is large
+            enough to benefit).
+
+    Returns:
+        ``(values [B, k] f32, indices [B, k] i32)`` sorted descending.
+    """
+    n = emb.shape[0]
+    k = min(k, n)
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and n >= 4096 and (mask is None or mask.ndim == 1)) else "xla"
+    if impl == "pallas":
+        from .pallas_topk import pallas_dense_topk
+
+        return pallas_dense_topk(q, emb, k, mask)
+    return _xla_topk(q, emb, mask, k)

@@ -1,0 +1,65 @@
+"""Chinese-aware tokenisation for the sparse (BM25) path.
+
+The reference tokenises with ``chunk.split()`` (reference src/ingestion.py:21,
+src/retrieval.py:261-262) which is a no-op for Chinese text — SURVEY.md §7
+flags this as a known weakness.  We tokenise properly:
+
+  * text is NFKC-normalised and lower-cased,
+  * CJK runs produce character unigrams AND bigrams (the standard
+    segmentation-free recipe for Chinese retrieval),
+  * latin / digit runs produce whole-word tokens,
+  * tokens are hashed into a fixed power-of-two vocabulary so the device
+    index has a static vocab dimension (feature hashing — no host-side
+    vocab dictionary required, any corpus maps into the same space).
+
+Everything here is host-side build/query-encode code; the resulting id
+arrays feed the on-device CSR BM25 kernel in ops/bm25.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+from typing import List
+
+# CJK Unified Ideographs + extension A + compatibility; enough for financial text.
+_CJK = (
+    "㐀-䶿"
+    "一-鿿"
+    "豈-﫿"
+)
+_TOKEN_RE = re.compile(rf"([{_CJK}]+)|([a-z0-9]+(?:\.[0-9]+)?)")
+
+DEFAULT_VOCAB_BITS = 20  # 1M-slot hashed vocabulary
+
+
+def normalize(text: str) -> str:
+    """NFKC-fold (full-width → half-width, etc.) and lower-case."""
+    return unicodedata.normalize("NFKC", text).lower()
+
+
+def tokenize(text: str) -> List[str]:
+    """Split into CJK char uni+bigrams and latin/number words."""
+    out: List[str] = []
+    for cjk, word in _TOKEN_RE.findall(normalize(text)):
+        if word:
+            out.append(word)
+        elif cjk:
+            out.extend(cjk)  # unigrams
+            out.extend(cjk[i : i + 2] for i in range(len(cjk) - 1))  # bigrams
+    return out
+
+
+def hash_token(token: str, vocab_bits: int = DEFAULT_VOCAB_BITS) -> int:
+    """Stable 64-bit blake2b hash folded into the vocab size.
+
+    Stable across processes/machines (unlike Python's ``hash``), so indexes
+    built on one host are queryable from another.
+    """
+    h = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "little") & ((1 << vocab_bits) - 1)
+
+
+def token_ids(text: str, vocab_bits: int = DEFAULT_VOCAB_BITS) -> List[int]:
+    return [hash_token(t, vocab_bits) for t in tokenize(text)]

@@ -1,0 +1,104 @@
+"""fuse_hits vs a dict-based oracle implementing the reference aggregation
+(reference src/retrieval.py:1552-1661)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rag_challenge_2_tpu.ops.aggregate import fuse_hits
+
+
+def _oracle(hits, top_n):
+    """hits: list of (key, sim, qid, mid, row). Reference dict logic."""
+    agg = {}
+    for key, sim, qid, mid, row in hits:
+        if key not in agg:
+            agg[key] = {"sims": [(sim, row)], "qids": [qid], "mids": [mid]}
+        else:
+            agg[key]["sims"].append((sim, row))
+            if mid not in agg[key]["mids"]:
+                agg[key]["mids"].append(mid)
+            if qid not in agg[key]["qids"]:
+                agg[key]["qids"].append(qid)
+    out = []
+    for key, info in agg.items():
+        base = max(s for s, _ in info["sims"])
+        nq = len(info["qids"])
+        nm = len(set(info["mids"]))
+        final = base * (1 + 0.2 * (nq - 1)) * (1 + 0.1 * (nm - 1))
+        out.append((final, key, base, nq, nm))
+    out.sort(key=lambda t: -t[0])
+    return out[:top_n]
+
+
+def _run(hits, top_n, L=None):
+    L = L or len(hits)
+    key = np.full(L, 0, np.int32)
+    sim = np.zeros(L, np.float32)
+    qid = np.zeros(L, np.int32)
+    mid = np.zeros(L, np.int32)
+    row = np.zeros(L, np.int32)
+    valid = np.zeros(L, bool)
+    for i, (k, s, q, m, r) in enumerate(hits):
+        key[i], sim[i], qid[i], mid[i], row[i], valid[i] = k, s, q, m, r, True
+    return fuse_hits(
+        jnp.asarray(key), jnp.asarray(sim), jnp.asarray(qid), jnp.asarray(mid),
+        jnp.asarray(row), jnp.asarray(valid), top_n=top_n,
+    )
+
+
+def test_fuse_matches_reference_dict_logic(rng):
+    n_keys, n_q, n_m = 20, 4, 3
+    hits = []
+    for q in range(n_q):
+        for m in range(n_m):
+            for _ in range(10):
+                k = int(rng.integers(0, n_keys))
+                hits.append((k, float(rng.random()), q, m, k * 10))
+    res = _run(hits, top_n=10)
+    exp = _oracle(hits, top_n=10)
+    got_scores = np.asarray(res.score)
+    got_keys = np.asarray(res.key)
+    for i, (f, k, base, nq, nm) in enumerate(exp):
+        assert abs(got_scores[i] - f) < 1e-5, (i, f, got_scores[i])
+        # keys may swap on exact score ties; check the score sequence + membership
+    assert set(got_keys[: len(exp)]) == {k for _, k, *_ in exp}
+
+
+def test_query_dedup_per_key():
+    # same query hits same key twice → counted once (parent-page dedup,
+    # reference src/retrieval.py:1596-1599)
+    hits = [(5, 0.9, 0, 0, 50), (5, 0.7, 0, 0, 51)]
+    res = _run(hits, top_n=3)
+    assert int(res.n_queries[0]) == 1
+    assert abs(float(res.score[0]) - 0.9) < 1e-6
+
+
+def test_method_diversity_bonus():
+    hits = [(5, 0.8, 0, 0, 50), (5, 0.6, 0, 1, 51), (7, 0.8, 0, 0, 70)]
+    res = _run(hits, top_n=3)
+    keys = list(np.asarray(res.key))
+    i5, i7 = keys.index(5), keys.index(7)
+    assert abs(float(res.score[i5]) - 0.8 * 1.1) < 1e-6
+    assert abs(float(res.score[i7]) - 0.8) < 1e-6
+    assert int(res.n_methods[i5]) == 2
+
+
+def test_query_hit_bonus():
+    hits = [(3, 0.5, 0, 0, 30), (3, 0.4, 1, 0, 31), (3, 0.3, 2, 0, 32)]
+    res = _run(hits, top_n=1)
+    assert abs(float(res.score[0]) - 0.5 * 1.4) < 1e-6
+    assert int(res.n_queries[0]) == 3
+
+
+def test_rep_row_is_argmax_hit():
+    hits = [(3, 0.5, 0, 0, 30), (3, 0.9, 1, 0, 77), (3, 0.3, 2, 0, 32)]
+    res = _run(hits, top_n=1)
+    assert int(res.rep_row[0]) == 77
+
+
+def test_invalid_slots_ignored():
+    hits = [(3, 0.5, 0, 0, 30)]
+    res = _run(hits, top_n=4, L=16)
+    assert int(res.key[0]) == 3
+    assert (np.asarray(res.key)[1:] == -1).all()
+    assert np.allclose(np.asarray(res.score)[1:], 0)
