@@ -55,7 +55,7 @@ def _first_occurrence(sorted_vals: jax.Array) -> jax.Array:
     return sorted_vals != prev
 
 
-@functools.partial(jax.jit, static_argnames=("top_n", "max_queries", "max_methods"))
+@functools.partial(jax.jit, static_argnames=("top_n",))
 def fuse_hits(
     key: jax.Array,
     sim: jax.Array,
@@ -65,29 +65,26 @@ def fuse_hits(
     valid: jax.Array,
     *,
     top_n: int,
-    max_queries: int = 32,
-    max_methods: int = 8,
 ) -> FusedCandidates:
     """Aggregate flat hit lists into bonus-scored, deduped top-n candidates.
 
     All inputs are ``[L]`` flat arrays (L = queries × methods × k, static).
-    ``key`` must satisfy ``key * max_queries < 2**31`` (documented limit;
-    holds for 10M pages × 32 queries).
     """
     L = key.shape[0]
     key_s = jnp.where(valid, key, _BIG)
 
-    # ---- sort by (key, qid): count distinct queries per key ----
-    comp_q = key_s * max_queries + jnp.clip(qid, 0, max_queries - 1)
-    order_q = jnp.argsort(comp_q)
-    ck, cq = key_s[order_q], comp_q[order_q]
+    # ---- lexicographic sort by (key, qid): count distinct queries per key ----
+    # multi-operand lax.sort avoids composite-integer keys (which overflow
+    # int32 once key * max_queries exceeds 2**31)
+    ck, cq, sim_s, row_s = jax.lax.sort(
+        (key_s, qid, sim, row), num_keys=2
+    )
     new_key = _first_occurrence(ck)
     seg = jnp.cumsum(new_key.astype(jnp.int32)) - 1          # contiguous unique-key ids
-    new_pair = _first_occurrence(cq)
+    new_pair = new_key | _first_occurrence(cq)
     nq = jax.ops.segment_sum(new_pair.astype(jnp.int32), seg, num_segments=L)
 
     # base similarity (max) per key + representative row
-    sim_s, row_s = sim[order_q], row[order_q]
     sim_masked = jnp.where(ck < _BIG, sim_s, NEG_INF)
     base = jax.ops.segment_max(sim_masked, seg, num_segments=L)
     is_best = sim_masked >= base[seg]
@@ -96,13 +93,12 @@ def fuse_hits(
     # unique-key values in segment order
     ukey = jax.ops.segment_max(jnp.where(new_key, ck, -1), seg, num_segments=L)
 
-    # ---- sort by (key, mid): count distinct methods per key ----
-    comp_m = key_s * max_methods + jnp.clip(mid, 0, max_methods - 1)
-    order_m = jnp.argsort(comp_m)
-    ck_m, cm = key_s[order_m], comp_m[order_m]
-    seg_m = jnp.cumsum(_first_occurrence(ck_m).astype(jnp.int32)) - 1
+    # ---- lexicographic sort by (key, mid): count distinct methods per key ----
+    ck_m, cm = jax.lax.sort((key_s, mid), num_keys=2)
+    new_key_m = _first_occurrence(ck_m)
+    seg_m = jnp.cumsum(new_key_m.astype(jnp.int32)) - 1
     nm = jax.ops.segment_sum(
-        _first_occurrence(cm).astype(jnp.int32), seg_m, num_segments=L
+        (new_key_m | _first_occurrence(cm)).astype(jnp.int32), seg_m, num_segments=L
     )  # same unique-key order as seg (both ascending in key)
 
     n_unique = jnp.sum(new_key.astype(jnp.int32))

@@ -1,0 +1,257 @@
+"""The on-device query engine.
+
+One jitted graph reproduces the whole of the reference's
+``VectorRetriever.retrieve_by_company_name`` fan-out + aggregation
+(reference src/retrieval.py:808-1819): the (expanded query × routed
+document) ThreadPoolExecutor grid (:1475-1504) becomes a padded batch
+dimension; the four retrieval methods run as batched kernels; the
+lock-guarded aggregation dict (:1552-1599) is `ops.aggregate.fuse_hits`.
+
+Methods (`method=`):
+  * ``basic``            — per-(query, doc) exact top-k (reference :1138-1157)
+  * ``ssg``              — anchor top-1 + greedy chunk-similarity hops (:585-688)
+  * ``triangulation``    — anchor top-1 + centroid-scored hops (:690-806)
+  * ``hybrid_expansion`` — basic top-50 ∪ SSG(top-10 anchors) ∪ Tri(top-20
+                           anchors) (:1258-1418)
+
+Static shapes: queries are padded to ``max_queries``, routed documents to
+``max_docs``; invalid slots carry ``valid=False`` and are ignored by the
+fusion op.  This keeps one compiled executable per (method, k) config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.schema import CorpusIndex, CorpusMeta
+from ..ops.aggregate import FusedCandidates, fuse_hits
+from ..ops.topk import NEG_INF, dense_topk
+from .routing import extract_years_from_question, route_mask
+from .traversal import emit_hits, traverse
+
+METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}
+
+# hybrid-expansion shape constants (reference src/retrieval.py:1260,1288,1355)
+HYBRID_BASIC_K = 50
+HYBRID_SSG_ANCHORS = 10
+HYBRID_TRI_ANCHORS = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Static retrieval configuration (one jit specialization each)."""
+
+    method: str = "basic"
+    top_k: int = 30                 # per-(query, doc) candidates for `basic`
+    max_hops: int = 4               # reference default (src/retrieval.py:808 + docs)
+    neighbor_k: int = 30
+    max_queries: int = 8
+    max_docs: int = 8
+    return_parent_pages: bool = False
+    top_n: int = 30                 # final aggregated candidate count
+
+
+def _flatten_hits(rows, sims, qids, mids, valid):
+    """[*, k]-shaped hit blocks → flat arrays for fuse_hits."""
+    return (
+        rows.reshape(-1),
+        sims.reshape(-1),
+        qids.reshape(-1),
+        mids.reshape(-1),
+        valid.reshape(-1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def search_device(
+    index: CorpusIndex,
+    q: jax.Array,          # [Q, D] padded query embeddings
+    q_valid: jax.Array,    # [Q] bool
+    doc_masks: jax.Array,  # [M, N] bool routed row masks, one per doc slot
+    doc_valid: jax.Array,  # [M] bool
+    cfg: SearchConfig,
+) -> FusedCandidates:
+    """Full fan-out + aggregation for one question, on device."""
+    Q, D = q.shape
+    M, N = doc_masks.shape
+    emb = index.emb
+
+    # (query, doc) anchor grid: A = Q*M
+    pair_mask = doc_masks[None, :, :] & q_valid[:, None, None] & doc_valid[None, :, None]
+    pair_mask = pair_mask.reshape(Q * M, N)
+    q_pair = jnp.repeat(q, M, axis=0)                       # [Q*M, D]
+    qid_pair = jnp.repeat(jnp.arange(Q, dtype=jnp.int32), M)
+
+    blocks: List[Tuple] = []
+
+    def basic_block(k: int):
+        vals, rows = dense_topk(q_pair, emb, k, mask=pair_mask, impl="xla")
+        ok = vals > NEG_INF / 2
+        sims = jnp.where(ok, vals, 0.0)
+        qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
+        mids = jnp.full(rows.shape, METHOD_IDS["basic"], jnp.int32)
+        return rows, sims, qids, mids, ok, vals
+
+    if cfg.method == "basic":
+        rows, sims, qids, mids, ok, _ = basic_block(cfg.top_k)
+        blocks.append((rows, sims, qids, mids, ok))
+
+    elif cfg.method in ("ssg", "triangulation"):
+        # anchor = top-1 per (query, doc) (reference src/retrieval.py:1164-1169)
+        a_vals, a_rows = dense_topk(q_pair, emb, 1, mask=pair_mask, impl="xla")
+        anchor = jnp.where(a_vals[:, 0] > NEG_INF / 2, a_rows[:, 0], -1)
+        res = traverse(
+            emb, anchor, q_pair, pair_mask,
+            max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=cfg.method,
+        )
+        rows, sims = emit_hits(emb, q_pair, res)
+        qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
+        mids = jnp.full(rows.shape, METHOD_IDS[cfg.method], jnp.int32)
+        blocks.append((rows, sims, qids, mids, res.valid))
+
+    elif cfg.method == "hybrid_expansion":
+        k = HYBRID_BASIC_K
+        rows, sims, qids, mids, ok, vals = basic_block(k)
+        blocks.append((rows, sims, qids, mids, ok))
+
+        def expansion(mode: str, n_anchors: int):
+            a_rows = rows[:, :n_anchors]                     # [Q*M, n_anchors]
+            a_ok = ok[:, :n_anchors]
+            anchors = jnp.where(a_ok, a_rows, -1).reshape(-1)
+            qv = jnp.repeat(q_pair, n_anchors, axis=0)
+            pm = jnp.repeat(pair_mask, n_anchors, axis=0)
+            res = traverse(
+                emb, anchors, qv, pm,
+                max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=mode,
+            )
+            r, s = emit_hits(emb, qv, res)
+            qq = jnp.repeat(qid_pair, n_anchors)
+            qids_e = jnp.broadcast_to(qq[:, None], r.shape)
+            mids_e = jnp.full(r.shape, METHOD_IDS[mode], jnp.int32)
+            return r, s, qids_e, mids_e, res.valid
+
+        blocks.append(expansion("ssg", HYBRID_SSG_ANCHORS))
+        blocks.append(expansion("triangulation", HYBRID_TRI_ANCHORS))
+    else:
+        raise ValueError(f"unknown method {cfg.method!r}")
+
+    flat = [
+        jnp.concatenate(parts)
+        for parts in zip(*[_flatten_hits(*b) for b in blocks])
+    ]
+    rows_f, sims_f, qids_f, mids_f, valid_f = flat
+    valid_f = valid_f & (rows_f >= 0)
+    # aggregation key: parent page vs chunk row (reference :1146-1156)
+    safe_rows = jnp.maximum(rows_f, 0)
+    key_f = jnp.where(
+        jnp.bool_(cfg.return_parent_pages),
+        index.page_seg[safe_rows],
+        safe_rows,
+    )
+    return fuse_hits(key_f, sims_f, qids_f, mids_f, rows_f, valid_f, top_n=cfg.top_n)
+
+
+class QueryEngine:
+    """Host-side orchestration around `search_device`.
+
+    Owns the corpus index + metadata and materialises device candidates
+    into the reference's result-dict shape
+    (reference src/retrieval.py:1719-1754).
+    """
+
+    def __init__(self, index: CorpusIndex, meta: CorpusMeta):
+        self.index = index
+        self.meta = meta
+        self._doc_ids_np = np.asarray(index.doc_id)
+
+    # -- routing ---------------------------------------------------------
+    def routed_docs(
+        self,
+        company: Optional[str],
+        question: str = "",
+        selected_years: Optional[Sequence[int]] = None,
+    ) -> List[int]:
+        """Doc ids matching the (company, years) route, reference order."""
+        cid = self.meta.company_id(company) if company is not None else None
+        if company is not None and cid < 0:
+            raise ValueError(f"No report found with '{company}' company name.")
+        mask = np.asarray(route_mask(self.index, cid, selected_years))
+        return sorted(set(self._doc_ids_np[mask].tolist()))
+
+    def doc_masks(
+        self, doc_ids: Sequence[int], max_docs: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        if len(doc_ids) > max_docs:
+            doc_ids = list(doc_ids)[:max_docs]
+        m = np.zeros((max_docs, self.index.n_pad), bool)
+        v = np.zeros((max_docs,), bool)
+        valid = np.asarray(self.index.valid)
+        for i, d in enumerate(doc_ids):
+            m[i] = valid & (self._doc_ids_np == d)
+            v[i] = True
+        return jnp.asarray(m), jnp.asarray(v)
+
+    # -- search ----------------------------------------------------------
+    def search(
+        self,
+        query_embs: np.ndarray,
+        company: Optional[str],
+        question: str = "",
+        selected_years: Optional[Sequence[int]] = None,
+        cfg: SearchConfig = SearchConfig(),
+    ) -> FusedCandidates:
+        doc_ids = self.routed_docs(company, question, selected_years)
+        if not doc_ids:
+            raise ValueError(f"No report found with '{company}' company name.")
+        dm, dv = self.doc_masks(doc_ids, cfg.max_docs)
+        B = min(query_embs.shape[0], cfg.max_queries)
+        q = np.zeros((cfg.max_queries, self.index.dim), np.float32)
+        q[:B] = query_embs[:B]
+        qv = np.zeros((cfg.max_queries,), bool)
+        qv[:B] = True
+        return search_device(self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg)
+
+    # -- materialisation -------------------------------------------------
+    def materialize(
+        self, cands: FusedCandidates, cfg: SearchConfig
+    ) -> List[Dict]:
+        """Device candidates → reference-shaped result dicts
+        (keys follow reference src/retrieval.py:1719-1754)."""
+        keys = np.asarray(cands.key)
+        scores = np.asarray(cands.score)
+        base = np.asarray(cands.base_sim)
+        nq = np.asarray(cands.n_queries)
+        nm = np.asarray(cands.n_methods)
+        rep = np.asarray(cands.rep_row)
+        pages = np.asarray(self.index.page)
+        out = []
+        method_names = {v: k for k, v in METHOD_IDS.items()}
+        for i in range(len(keys)):
+            if keys[i] < 0:
+                continue
+            if cfg.return_parent_pages:
+                d, pg = self.meta.page_seg_info[int(keys[i])]
+                text = self.meta.page_texts.get(int(keys[i]), "")
+            else:
+                row = int(keys[i])
+                d = int(self._doc_ids_np[row])
+                pg = int(pages[row])
+                text = self.meta.chunk_texts[row] if row < len(self.meta.chunk_texts) else ""
+            out.append({
+                "distance": float(scores[i]),
+                "base_similarity": float(base[i]),
+                "page": int(pg),
+                "text": text,
+                "source_sha1": self.meta.docs[d].sha1,
+                "source_year": self.meta.docs[d].year,
+                "hit_count": int(nq[i]),
+                "method_count": int(nm[i]),
+                "rep_row": int(rep[i]),
+            })
+        return out

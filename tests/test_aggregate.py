@@ -102,3 +102,26 @@ def test_invalid_slots_ignored():
     assert int(res.key[0]) == 3
     assert (np.asarray(res.key)[1:] == -1).all()
     assert np.allclose(np.asarray(res.score)[1:], 0)
+
+
+def test_invalid_hits_interleaved_with_key_zero():
+    # regression: invalid slots once overflowed the composite sort key and
+    # split key-0 segments (int32 overflow of BIG * max_queries)
+    hits = [(0, 0.5, 0, 0, 0), (0, 0.5, 0, 1, 0), (0, 0.5, 0, 2, 0)]
+    L = 64  # plenty of invalid slots
+    res = _run(hits, top_n=8, L=L)
+    keys = np.asarray(res.key)
+    assert (keys == 0).sum() == 1, keys
+    i = list(keys).index(0)
+    assert int(res.n_methods[i]) == 3
+    assert int(res.n_queries[i]) == 1
+    assert abs(float(res.score[i]) - 0.5 * 1.2) < 1e-6
+
+
+def test_large_keys_no_overflow():
+    big = 9_000_000  # 10M-page scale keys
+    hits = [(big, 0.9, 0, 0, 1), (big, 0.8, 1, 0, 2), (big - 5, 0.7, 0, 0, 3)]
+    res = _run(hits, top_n=4, L=16)
+    keys = list(np.asarray(res.key))
+    assert keys[0] == big and int(res.n_queries[0]) == 2
+    assert abs(float(res.score[0]) - 0.9 * 1.2) < 1e-6

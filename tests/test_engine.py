@@ -1,0 +1,95 @@
+"""QueryEngine end-to-end on a synthetic corpus (no network, no LLM —
+the expansion/rerank stages are stubbed per SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+
+
+@pytest.fixture
+def engine(tiny_corpus):
+    idx, meta, reports, embs = tiny_corpus
+    return QueryEngine(idx, meta), reports, embs
+
+
+def _q_for(embs, doc, row, rng, noise=0.01):
+    q = embs[doc][row] + noise * rng.normal(size=embs[doc].shape[1])
+    return (q / np.linalg.norm(q)).astype(np.float32)[None, :]
+
+
+def test_basic_search_finds_planted_chunk(engine, rng):
+    eng, reports, embs = engine
+    q = _q_for(embs, 0, 5, rng)
+    cands = eng.search(q, "金盘科技", cfg=SearchConfig(method="basic", top_k=5, top_n=10))
+    res = eng.materialize(cands, SearchConfig(method="basic", top_k=5, top_n=10))
+    assert res, "no results"
+    assert res[0]["rep_row"] == 5
+    assert res[0]["source_sha1"].startswith("J2023")
+
+
+def test_search_routes_by_year(engine, rng):
+    eng, reports, embs = engine
+    q = _q_for(embs, 0, 0, rng, noise=0.0)
+    cfg = SearchConfig(method="basic", top_k=5, top_n=20)
+    cands = eng.search(q, "金盘科技", selected_years=[2024], cfg=cfg)
+    res = eng.materialize(cands, cfg)
+    assert all(r["source_year"] == 2024 for r in res)
+
+
+def test_unknown_company_raises(engine, rng):
+    eng, _, embs = engine
+    q = _q_for(embs, 0, 0, rng)
+    with pytest.raises(ValueError, match="No report found"):
+        eng.search(q, "不存在公司")
+
+
+def test_multi_query_hit_bonus(engine, rng):
+    eng, reports, embs = engine
+    # two near-identical queries hitting the same chunk → hit_count 2, ×1.2
+    q1 = _q_for(embs, 0, 5, rng, noise=0.001)
+    q2 = _q_for(embs, 0, 5, rng, noise=0.002)
+    cfg = SearchConfig(method="basic", top_k=3, top_n=5)
+    res = eng.materialize(eng.search(np.concatenate([q1, q2]), "金盘科技", cfg=cfg), cfg)
+    assert res[0]["rep_row"] == 5
+    assert res[0]["hit_count"] == 2
+    assert res[0]["distance"] == pytest.approx(res[0]["base_similarity"] * 1.2, rel=1e-5)
+
+
+def test_parent_page_aggregation(engine, rng):
+    eng, reports, embs = engine
+    q = _q_for(embs, 0, 5, rng)
+    cfg = SearchConfig(method="basic", top_k=6, top_n=5, return_parent_pages=True)
+    res = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    # chunk 5 of doc 0 is on page (5 // 3) + 1 = 2
+    assert res[0]["page"] == 2
+    assert "page" in reports[0]["content"]["pages"][0]
+    # page text, not chunk text
+    assert res[0]["text"].startswith("doc0 page2")
+
+
+def test_hybrid_expansion_runs_and_tags_methods(engine, rng):
+    eng, reports, embs = engine
+    q = _q_for(embs, 0, 5, rng)
+    cfg = SearchConfig(method="hybrid_expansion", top_n=20, max_hops=2, neighbor_k=5)
+    res = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    assert res
+    # with 12 chunks per doc and exhaustive expansion, some key must be
+    # hit by ≥2 methods → diversity bonus applied
+    assert any(r["method_count"] >= 2 for r in res)
+    for r in res:
+        expected = (r["base_similarity"]
+                    * (1 + 0.2 * (r["hit_count"] - 1))
+                    * (1 + 0.1 * (r["method_count"] - 1)))
+        assert r["distance"] == pytest.approx(expected, rel=1e-5, abs=1e-6)
+
+
+def test_ssg_method_end_to_end(engine, rng):
+    eng, reports, embs = engine
+    q = _q_for(embs, 1, 3, rng)
+    cfg = SearchConfig(method="ssg", top_n=10, max_hops=3, neighbor_k=4)
+    res = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    assert res
+    # anchor (exact row 3 of doc 1) must be among results
+    rows = [r["rep_row"] for r in res]
+    assert any(r >= 0 for r in rows)

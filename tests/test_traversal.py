@@ -1,0 +1,133 @@
+"""SSG / Triangulation traversal vs a numpy oracle implementing the
+reference algorithms (reference src/retrieval.py:585-806) verbatim."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rag_challenge_2_tpu.retrieval.traversal import traverse, emit_hits
+
+
+def _oracle_ssg(emb, mask, anchor, max_hops, neighbor_k):
+    """Reference _ssg_search (src/retrieval.py:585-688) on numpy."""
+    visited = {anchor}
+    path = [anchor]
+    cur = anchor
+    prev_sim = 1.0
+    for _ in range(max_hops):
+        scores = emb[cur] @ emb.T
+        scores[~mask] = -np.inf
+        order = np.argsort(-scores, kind="stable")[: neighbor_k + 1]
+        cands = [(scores[i], i) for i in order if i not in visited and np.isfinite(scores[i])]
+        if not cands:
+            break
+        best_sim, best = max(cands, key=lambda t: (t[0], -t[1]))
+        if best_sim <= prev_sim:
+            break
+        visited.add(best)
+        path.append(best)
+        cur = best
+        prev_sim = best_sim
+    return path
+
+
+def _oracle_tri(emb, q, mask, anchor, max_hops, neighbor_k):
+    """Reference _triangulation_search (src/retrieval.py:690-806) on numpy."""
+    visited = {anchor}
+    path = [anchor]
+    cur = anchor
+    for _ in range(max_hops):
+        scores = emb[cur] @ emb.T
+        scores[~mask] = -np.inf
+        order = np.argsort(-scores, kind="stable")[: neighbor_k + 1]
+        cands = []
+        for i in order:
+            if i in visited or not np.isfinite(scores[i]):
+                continue
+            centroid = (q + emb[cur] + emb[i]) / 3.0
+            cscore = 1.0 / (1.0 + np.linalg.norm(centroid - q))
+            cands.append((cscore, i))
+        if not cands:
+            break
+        _, best = max(cands, key=lambda t: (t[0], -t[1]))
+        visited.add(best)
+        path.append(best)
+        cur = best
+    return path
+
+
+def _mk(rng, n=200, d=32):
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return emb
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ssg_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    emb = _mk(rng)
+    mask = np.ones(emb.shape[0], bool)
+    anchors = np.array([0, 17, 42, 99], np.int32)
+    q = emb[anchors] + 0.01 * rng.normal(size=(4, emb.shape[1])).astype(np.float32)
+    res = traverse(jnp.asarray(emb), jnp.asarray(anchors), jnp.asarray(q),
+                   jnp.asarray(mask), max_hops=4, neighbor_k=10, mode="ssg")
+    for a, anchor in enumerate(anchors):
+        exp = _oracle_ssg(emb.copy(), mask, int(anchor), 4, 10)
+        got = [int(x) for x in np.asarray(res.path[a]) if x >= 0]
+        assert got == exp, (a, got, exp)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_triangulation_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    emb = _mk(rng)
+    mask = np.ones(emb.shape[0], bool)
+    anchors = np.array([5, 60, 150], np.int32)
+    q = rng.normal(size=(3, emb.shape[1])).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    res = traverse(jnp.asarray(emb), jnp.asarray(anchors), jnp.asarray(q),
+                   jnp.asarray(mask), max_hops=4, neighbor_k=12, mode="triangulation")
+    for a, anchor in enumerate(anchors):
+        exp = _oracle_tri(emb.copy(), q[a], mask, int(anchor), 4, 12)
+        got = [int(x) for x in np.asarray(res.path[a]) if x >= 0]
+        assert got == exp, (a, got, exp)
+
+
+def test_traversal_respects_doc_mask():
+    rng = np.random.default_rng(7)
+    emb = _mk(rng, n=100)
+    mask = np.zeros((2, 100), bool)
+    mask[0, :50] = True
+    mask[1, 50:] = True
+    anchors = np.array([3, 60], np.int32)
+    q = emb[anchors]
+    res = traverse(jnp.asarray(emb), jnp.asarray(anchors), jnp.asarray(q),
+                   jnp.asarray(mask), max_hops=4, neighbor_k=8, mode="ssg")
+    p0 = [int(x) for x in np.asarray(res.path[0]) if x >= 0]
+    p1 = [int(x) for x in np.asarray(res.path[1]) if x >= 0]
+    assert all(i < 50 for i in p0)
+    assert all(i >= 50 for i in p1)
+
+
+def test_inactive_anchor():
+    rng = np.random.default_rng(1)
+    emb = _mk(rng, n=50)
+    res = traverse(jnp.asarray(emb), jnp.asarray(np.array([-1, 2], np.int32)),
+                   jnp.asarray(emb[[0, 2]]), jnp.asarray(np.ones(50, bool)),
+                   max_hops=3, neighbor_k=5, mode="ssg")
+    assert not bool(res.valid[0].any())
+    assert bool(res.valid[1, 0])
+
+
+def test_emit_hits_rescore():
+    rng = np.random.default_rng(2)
+    emb = _mk(rng, n=80)
+    anchors = np.array([10], np.int32)
+    q = rng.normal(size=(1, emb.shape[1])).astype(np.float32)
+    res = traverse(jnp.asarray(emb), jnp.asarray(anchors), jnp.asarray(q),
+                   jnp.asarray(np.ones(80, bool)), max_hops=3, neighbor_k=6, mode="triangulation")
+    rows, sims = emit_hits(jnp.asarray(emb), jnp.asarray(q), res)
+    rows, sims = np.asarray(rows), np.asarray(sims)
+    for j in range(rows.shape[1]):
+        if rows[0, j] >= 0:
+            np.testing.assert_allclose(sims[0, j], q[0] @ emb[rows[0, j]], rtol=1e-4)
