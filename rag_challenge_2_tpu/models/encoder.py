@@ -1,0 +1,137 @@
+"""On-device text embedding encoder.
+
+Replaces the reference's remote embedding API (Qwen ``text-embedding-v4``,
+dim 1024, batches of 10 over HTTP — reference src/api_requests.py:55-127,
+src/ingestion.py:56-77) with a batched transformer encoder forward on TPU:
+corpus embedding becomes a data-parallel sweep of MXU matmuls instead of a
+rate-limited network loop (BASELINE.md config 4).
+
+Design notes (TPU-first):
+  * bf16 activations / f32 params & accumulation — MXU-native;
+  * fixed max_len with padding masks — static shapes under jit;
+  * hashed-vocab token ids from utils/tokenize.py — no vocab file, any
+    corpus maps into the same id space as the BM25 path;
+  * mean-pool + linear projection + L2 norm → unit vectors, so inner
+    product == cosine, matching how the reference uses IndexFlatIP on
+    unit-norm API embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..utils import tokenize as tok
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_bits: int = 15          # 32k hashed vocab (embedding table rows)
+    d_model: int = 512
+    n_layers: int = 4
+    n_heads: int = 8
+    d_ff: int = 2048
+    max_len: int = 512
+    out_dim: int = 1024           # matches the reference embedding dim
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def vocab_size(self) -> int:
+        return 1 << self.vocab_bits
+
+
+class Block(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, mask):
+        c = self.cfg
+        h = nn.LayerNorm(dtype=c.dtype, name="ln1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.n_heads,
+            dtype=c.dtype,
+            qkv_features=c.d_model,
+            name="attn",
+        )(h, h, mask=mask)
+        x = x + h
+        h = nn.LayerNorm(dtype=c.dtype, name="ln2")(x)
+        h = nn.Dense(c.d_ff, dtype=c.dtype, name="mlp_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(c.d_model, dtype=c.dtype, name="mlp_out")(h)
+        return x + h
+
+
+class Encoder(nn.Module):
+    """Mean-pooled transformer encoder → unit-norm embedding."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, token_ids: jax.Array) -> jax.Array:
+        """token_ids: i32 [B, L], padded with -1 → f32 [B, out_dim] unit-norm."""
+        c = self.cfg
+        pad = token_ids >= 0
+        ids = jnp.maximum(token_ids, 0)
+        x = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype, name="tok_embed")(ids)
+        pos = nn.Embed(c.max_len, c.d_model, dtype=c.dtype, name="pos_embed")(
+            jnp.arange(token_ids.shape[1])[None, :]
+        )
+        x = x + pos
+        attn_mask = nn.make_attention_mask(pad, pad, dtype=c.dtype)
+        for i in range(c.n_layers):
+            x = Block(c, name=f"block{i}")(x, attn_mask)
+        x = nn.LayerNorm(dtype=c.dtype, name="ln_f")(x)
+        denom = jnp.maximum(jnp.sum(pad, axis=1, keepdims=True), 1)
+        pooled = jnp.sum(x * pad[..., None], axis=1) / denom
+        out = nn.Dense(c.out_dim, dtype=jnp.float32, name="proj")(
+            pooled.astype(jnp.float32)
+        )
+        return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-9)
+
+
+def tokenize_batch(
+    texts, max_len: int, vocab_bits: int
+) -> np.ndarray:
+    """Host-side: texts → padded i32 [B, max_len] hashed-token batch."""
+    out = np.full((len(texts), max_len), -1, np.int32)
+    for i, t in enumerate(texts):
+        ids = tok.token_ids(t, vocab_bits)[:max_len]
+        out[i, : len(ids)] = ids
+    return out
+
+
+class EmbeddingModel:
+    """Bundled config + params + jitted batched forward.
+
+    The drop-in replacement for ``BaseQwenProcessor.get_embeddings``
+    (reference src/api_requests.py:101-127): call ``.embed(texts)`` and get
+    ``[B, out_dim]`` unit-norm float32 embeddings, computed on device.
+    """
+
+    def __init__(self, cfg: EncoderConfig = EncoderConfig(), params=None, seed: int = 0):
+        self.cfg = cfg
+        self.module = Encoder(cfg)
+        if params is None:
+            dummy = jnp.zeros((1, 8), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.params = params
+        self._fwd = jax.jit(self.module.apply)
+
+    def embed_tokens(self, token_ids: jax.Array) -> jax.Array:
+        return self._fwd(self.params, token_ids)
+
+    def embed(self, texts, batch_size: int = 256) -> np.ndarray:
+        outs = []
+        for s in range(0, len(texts), batch_size):
+            chunk = texts[s : s + batch_size]
+            ids = tokenize_batch(chunk, self.cfg.max_len, self.cfg.vocab_bits)
+            # pad the batch so every call shares one compiled shape
+            if len(chunk) < batch_size:
+                ids = np.pad(ids, ((0, batch_size - len(chunk)), (0, 0)), constant_values=-1)
+            outs.append(np.asarray(self.embed_tokens(jnp.asarray(ids)))[: len(chunk)])
+        return np.concatenate(outs) if outs else np.zeros((0, self.cfg.out_dim), np.float32)

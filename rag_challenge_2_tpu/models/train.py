@@ -1,0 +1,97 @@
+"""Contrastive training for the embedding encoder, sharded over a mesh.
+
+The reference never trains anything (its embeddings come from a paid API);
+to make on-device corpus embedding (BASELINE.md config 4) self-contained,
+the encoder trains with symmetric InfoNCE over (query, passage) pairs —
+in-batch negatives, which under GSPMD span the *global* batch: the
+``q @ d.T`` logits matrix forces an all-gather of passage embeddings over
+the ``data`` axis, exactly the cross-device negatives trick, expressed to
+XLA instead of hand-written NCCL.
+
+Parallelism: batch shards over ``data``; encoder weights shard over
+``model`` per parallel/mesh.py's Megatron-style rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import shard_params
+from .encoder import Encoder, EncoderConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    temperature: float = 0.05
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(tc.lr, weight_decay=tc.weight_decay)
+
+
+def contrastive_loss(
+    params, module: Encoder, q_tokens: jax.Array, d_tokens: jax.Array, temperature: float
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Symmetric InfoNCE with in-(global)-batch negatives."""
+    qe = module.apply(params, q_tokens)                # [B, dim] unit-norm
+    de = module.apply(params, d_tokens)
+    logits = qe @ de.T / temperature                   # [B, B] global negatives
+    labels = jnp.arange(logits.shape[0])
+    l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    loss = (l_qd + l_dq) / 2
+    acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def make_train_step(
+    module: Encoder,
+    optimizer: optax.GradientTransformation,
+    tc: TrainConfig,
+    mesh: Mesh,
+):
+    """Build the jitted, mesh-sharded train step.
+
+    Returned step signature: ``(params, opt_state, q_tokens, d_tokens) ->
+    (params, opt_state, metrics)``.  Batch inputs are constrained to shard
+    over ``data``; parameter shardings ride along from their placement.
+    """
+    data_sharding = NamedSharding(mesh, P("data", None))
+
+    @jax.jit
+    def step(params, opt_state, q_tokens, d_tokens):
+        q_tokens = jax.lax.with_sharding_constraint(q_tokens, data_sharding)
+        d_tokens = jax.lax.with_sharding_constraint(d_tokens, data_sharding)
+        (loss, metrics), grads = jax.value_and_grad(
+            contrastive_loss, has_aux=True
+        )(params, module, q_tokens, d_tokens, tc.temperature)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def init_training(
+    cfg: EncoderConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    seed: int = 0,
+):
+    """Init sharded params + optimizer state + jitted step on the mesh."""
+    module = Encoder(cfg)
+    params = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 8), jnp.int32))
+    params = shard_params(params, mesh)
+    optimizer = make_optimizer(tc)
+    opt_state = optimizer.init(params)
+    step = make_train_step(module, optimizer, tc, mesh)
+    return module, params, opt_state, step

@@ -1,0 +1,103 @@
+"""Multi-device exact search: row-sharded embeddings + distributed top-k.
+
+The scaling axis of this framework is index length, not sequence length
+(SURVEY.md §5): the embedding matrix row-shards across the ``data`` mesh
+axis, every device scores its shard locally (matmul + local top-k), and the
+per-shard candidates merge with one ``all_gather`` over ICI — the classic
+distributed top-k, written with ``shard_map`` so the collective is explicit
+and deterministic (ties break toward lower global row, matching the
+single-device kernel).
+
+Replaces the reference's "load every per-year FAISS file into host RAM"
+model (reference src/retrieval.py:488-541) at 10M-vector scale
+(BASELINE.md config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.topk import NEG_INF
+
+
+def shard_rows(emb: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
+    """Place [N, D] embeddings row-sharded over the mesh axis."""
+    return jax.device_put(emb, NamedSharding(mesh, P(axis, None)))
+
+
+def shard_vec(x: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data"):
+    """Build the jitted distributed top-k: (q, emb, mask) → (vals, rows).
+
+    q: [B, D] replicated; emb: [N, D] row-sharded; mask: [N] row-sharded.
+    Returns replicated ([B, k], [B, k]) with global row indices.
+    """
+    n_shards = mesh.shape[axis]
+
+    def local(q, emb_l, mask_l):
+        rows_per_shard = emb_l.shape[0]
+        scores = jnp.dot(
+            q, emb_l.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        scores = jnp.where(mask_l[None, :], scores, NEG_INF)
+        k_l = min(k, rows_per_shard)
+        vals, idx = jax.lax.top_k(scores, k_l)
+        offset = jax.lax.axis_index(axis) * rows_per_shard
+        gidx = jnp.where(vals > NEG_INF / 2, idx + offset, -1)
+        # gather all shards' candidates, merge on every device (replicated out)
+        av = jax.lax.all_gather(vals, axis)            # [S, B, k_l]
+        ai = jax.lax.all_gather(gidx, axis)
+        B = q.shape[0]
+        av = jnp.moveaxis(av, 0, 1).reshape(B, n_shards * k_l)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(B, n_shards * k_l)
+        # deterministic ties: prefer lower global row — sort by (-val, row)
+        order = jnp.argsort(jnp.where(ai >= 0, ai, 2**30), axis=1, stable=True)
+        av = jnp.take_along_axis(av, order, axis=1)
+        ai = jnp.take_along_axis(ai, order, axis=1)
+        mv, midx = jax.lax.top_k(av, min(k, n_shards * k_l))
+        mi = jnp.take_along_axis(ai, midx, axis=1)
+        return mv, mi
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(axis)),
+        out_specs=(P(None, None), P(None, None)),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_dense_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    mesh: Mesh,
+    mask: Optional[jax.Array] = None,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Convenience wrapper: shard, search, return ([B,k] vals, [B,k] rows)."""
+    n = emb.shape[0]
+    s = mesh.shape[axis]
+    pad = (-n) % s
+    if pad:
+        emb = jnp.pad(emb, ((0, pad), (0, 0)))
+        mask = jnp.pad(
+            mask if mask is not None else jnp.ones((n,), bool), (0, pad)
+        )
+    elif mask is None:
+        mask = jnp.ones((n,), bool)
+    emb = shard_rows(emb, mesh, axis)
+    mask = shard_vec(mask, mesh, axis)
+    return make_sharded_topk(mesh, k, axis)(q, emb, mask)

@@ -1,1 +1,2 @@
 from . import tokenize, timing
+from .cache import enable_compile_cache

@@ -1,0 +1,50 @@
+"""Distributed top-k over an 8-device CPU mesh vs the single-device kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_challenge_2_tpu.ops.topk import dense_topk
+from rag_challenge_2_tpu.parallel.mesh import make_mesh
+from rag_challenge_2_tpu.parallel.sharded_search import sharded_dense_topk
+
+needs_devices = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs_devices
+@pytest.mark.parametrize("N,D,B,k", [(4096, 64, 4, 10), (1000, 32, 2, 7)])
+def test_sharded_matches_single_device(rng, N, D, B, k):
+    mesh = make_mesh({"data": 8})
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    sv, si = sharded_dense_topk(q, emb, k, mesh)
+    xv, xi = dense_topk(q, emb, k, impl="xla")
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(si) == np.asarray(xi)).all(), "deterministic parity incl. ties"
+
+
+@needs_devices
+def test_sharded_with_mask(rng):
+    mesh = make_mesh({"data": 8})
+    N, D, B, k = 2048, 32, 3, 8
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    mask = rng.random(N) > 0.5
+    sv, si = sharded_dense_topk(q, emb, k, mesh, mask=jnp.asarray(mask))
+    assert mask[np.asarray(si)].all()
+    xv, _ = dense_topk(q, emb, k, mask=jnp.asarray(mask), impl="xla")
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-5)
+
+
+@needs_devices
+def test_sharded_uneven_rows(rng):
+    # N not divisible by 8 exercises the pad path
+    mesh = make_mesh({"data": 8})
+    N, D, B, k = 1001, 16, 2, 5
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    sv, si = sharded_dense_topk(q, emb, k, mesh)
+    assert (np.asarray(si) < N).all() and (np.asarray(si) >= 0).all()
+    xv, xi = dense_topk(q, emb, k, impl="xla")
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-5)
