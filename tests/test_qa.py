@@ -1,0 +1,153 @@
+"""QA orchestration end-to-end, fully offline: stub LLM + synthetic corpus
+(SURVEY.md §4: no network, stub expansion/rerank behind interfaces)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rag_challenge_2_tpu.llm import LLMFacade, LLMReranker, RateLimiter, StubProvider
+from rag_challenge_2_tpu.qa import QAConfig, QuestionsProcessor
+from rag_challenge_2_tpu.retrieval.engine import QueryEngine
+
+
+def _answer_json(final=68.9, pages=(3,)):
+    return json.dumps({
+        "step_by_step_analysis": "一二三四五步骤" * 10,
+        "reasoning_summary": "总结",
+        "relevant_pages": list(pages),
+        "final_answer": final,
+    }, ensure_ascii=False)
+
+
+def make_processor(tiny_corpus, rng, scripted=None, cfg=None, embed_dim=64):
+    idx, meta, reports, embs = tiny_corpus
+    eng = QueryEngine(idx, meta)
+    chunk_embs = np.concatenate(embs)
+
+    def embedder(texts):
+        # deterministic fake embedder: hash text to a corpus row direction
+        out = np.zeros((len(texts), embed_dim), np.float32)
+        for i, t in enumerate(texts):
+            row = abs(hash(t)) % chunk_embs.shape[0]
+            out[i] = chunk_embs[row]
+        return out
+
+    provider = StubProvider(scripted or {})
+    llm = LLMFacade(provider)
+    rr = LLMReranker(provider)
+    rr.rate_limiter = RateLimiter(0)
+    proc = QuestionsProcessor(eng, embedder, llm, rr, cfg or QAConfig())
+    return proc, provider
+
+
+BASE_SCRIPT = {
+    "候选页面": json.dumps({"selected_pages": [1, 2], "reasoning": "相关"}, ensure_ascii=False),
+    "上下文": _answer_json(),
+}
+
+
+def test_single_company_flow(tiny_corpus, rng):
+    proc, provider = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    out = proc.get_answer_for_company("金盘科技", "金盘科技2024年营业收入是多少", "number")
+    assert out["final_answer"] == 68.9
+    assert out["relevant_pages"], "validated pages must be non-empty"
+    assert out["references"], "references must exist"
+    # adjacent expansion marks non-core pages
+    assert any(r["is_expanded"] for r in out["references"]) or len(out["references"]) <= 2
+    assert "timing" in out and "generate_answer" in out["timing"]
+    assert out["prompt_info"]["schema"] == "number"
+
+
+def test_page_validation_drops_hallucinated(tiny_corpus, rng):
+    script = dict(BASE_SCRIPT)
+    script["候选页面"] = json.dumps({"selected_pages": [99, 1], "reasoning": "x"}, ensure_ascii=False)
+    proc, _ = make_processor(tiny_corpus, rng, script)
+    out = proc.get_answer_for_company("金盘科技", "问题", "number")
+    assert 99 not in out["relevant_pages"]
+    assert len(out["relevant_pages"]) >= 2  # padded to min_pages
+
+
+def test_process_question_routes_comparative(tiny_corpus, rng):
+    subs = {"sub_questions": [
+        {"question": "金盘科技2023年营收是多少", "reasoning": "r"},
+        {"question": "宁德时代2023年营收是多少", "reasoning": "r"},
+    ]}
+    script = dict(BASE_SCRIPT)
+    script["原始问题"] = json.dumps(subs, ensure_ascii=False)
+    proc, provider = make_processor(tiny_corpus, rng, script)
+    out = proc.process_question("金盘科技和宁德时代2023年谁的营收高", "comparative")
+    assert "sub_answers" in out
+    assert set(out["sub_answers"]) == {"金盘科技", "宁德时代"}
+
+
+def test_no_company_raises(tiny_corpus, rng):
+    proc, _ = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    with pytest.raises(ValueError, match="No company name"):
+        proc.process_question("今天的天气如何", "number")
+
+
+def test_full_context_mode(tiny_corpus, rng):
+    cfg = QAConfig(full_context=True)
+    proc, _ = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT), cfg)
+    out = proc.get_answer_for_company("金盘科技", "问题", "number")
+    # all pages of both 金盘科技 docs retrievable
+    pages = {c["page"] for c in out["all_retrieved_chunks"]}
+    assert pages == {1, 2, 3, 4}
+
+
+def test_reranking_and_upstream_groups(tiny_corpus, rng):
+    ranking = {"block_rankings": [
+        {"reasoning": "r", "relevance_score": 0.9},
+    ] * 4}
+    script = dict(BASE_SCRIPT)
+    script["文本块集合"] = json.dumps(ranking, ensure_ascii=False)
+    script["文本块:"] = json.dumps({"reasoning": "r", "relevance_score": 0.8}, ensure_ascii=False)
+    cfg = QAConfig(llm_reranking=True, llm_reranking_sample_size=8,
+                   expand_upstream=True, expand_top_k=2, expand_context_size=1)
+    proc, _ = make_processor(tiny_corpus, rng, script, cfg)
+    out = proc.get_answer_for_company("金盘科技", "金盘科技营业收入", "number")
+    assert "reranker_stats" in out
+    assert "selected_groups" in out
+    for g in out["selected_groups"]:
+        assert g["core_page"] in g["pages"]
+    # group references carry group metadata
+    assert all("group_id" in r for r in out["references"])
+
+
+def test_batch_processing_and_submission(tiny_corpus, rng, tmp_path):
+    proc, _ = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    questions = [
+        {"question": "金盘科技2023年营业收入是多少", "schema": "number"},
+        {"question": "没有公司名的问题", "schema": "number"},  # → error entry
+    ]
+    out_path = tmp_path / "answers.json"
+    result = proc.process_questions_list(
+        questions, str(out_path), submission_file=True,
+        team_email="t@e", submission_name="s",
+    )
+    assert result["statistics"]["total_questions"] == 2
+    assert result["statistics"]["error_count"] == 1
+    # files written: submission + debug
+    assert out_path.exists()
+    debug = json.loads((tmp_path / "answers_debug.json").read_text())
+    assert len(debug["questions"]) == 2
+    sub = json.loads(out_path.read_text())
+    ans0 = sub["answers"][0]
+    assert ans0["value"] == 68.9
+    # 1-based → 0-based page conversion
+    orig_ref = result["questions"][0]["references"][0]
+    assert ans0["references"][0]["page_index"] == orig_ref["page_index"] - 1
+    # errored question → value N/A in submission
+    assert sub["answers"][1]["value"] == "N/A"
+
+
+def test_conversation_history_contextualizes(tiny_corpus, rng):
+    proc, provider = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    proc.get_answer_for_company(
+        "金盘科技", "它的净利润呢", "number",
+        conversation_history=[{"question": "2024年营收是多少", "answer": "68.9亿"}],
+    )
+    # the answering call must include the history context
+    answer_calls = [c for c in provider.calls if "历史对话上下文" in c["user"]]
+    assert answer_calls, "history was not threaded into the answer prompt"
