@@ -1,0 +1,126 @@
+"""CLI for the TPU-native RAG pipeline.
+
+Command set mirrors the reference's click CLI (reference main.py:6-64):
+``parse-pdfs``, ``serialize-tables``, ``process-reports``,
+``process-questions`` — plus ``bench`` (the driver metric) and ``query``
+(one-shot retrieval inspection).  ``download-models`` exists for contract
+parity; model weights here are the local encoder, nothing to download.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import click
+
+from rag_challenge_2_tpu.pipeline import Pipeline, configs
+
+
+def _pipeline(root: str, config: str, **overrides) -> Pipeline:
+    run_config = configs[config]
+    for k, v in overrides.items():
+        if v is not None:
+            setattr(run_config, k, v)
+    return Pipeline(Path(root), run_config)
+
+
+@click.group()
+def cli():
+    """TPU-native RAG pipeline (rag_challenge_2_tpu)."""
+
+
+@cli.command("download-models")
+def download_models():
+    """Warm local models (encoder init + compile-cache prime)."""
+    from rag_challenge_2_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel
+
+    model = EmbeddingModel()
+    emb = model.embed(["warmup 预热"])
+    click.echo(f"encoder ready: dim={emb.shape[1]}")
+
+
+@cli.command("parse-pdfs")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="base", show_default=True)
+@click.option("--parallel/--sequential", default=False, show_default=True)
+@click.option("--chunk-size", default=2, show_default=True)
+@click.option("--max-workers", default=10, show_default=True)
+def parse_pdfs(root, config, parallel, chunk_size, max_workers):
+    """PDF/TXT reports → parsed-report JSONs."""
+    _pipeline(root, config).parse_pdf_reports(
+        parallel=parallel, chunk_size=chunk_size, max_workers=max_workers
+    )
+    click.echo("parsed")
+
+
+@cli.command("serialize-tables")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="base", show_default=True)
+@click.option("--max-workers", default=5, show_default=True)
+def serialize_tables(root, config, max_workers):
+    """LLM table serialization over parsed reports."""
+    _pipeline(root, config).serialize_tables(max_workers=max_workers)
+    click.echo("serialized")
+
+
+@cli.command("process-reports")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="base", show_default=True)
+def process_reports(root, config):
+    """Merge → markdown → chunk → build the on-device corpus index."""
+    _pipeline(root, config).process_parsed_reports()
+    click.echo("index built")
+
+
+@cli.command("process-questions")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="qwen", show_default=True)
+@click.option("--use-hyde/--no-hyde", default=None)
+@click.option("--use-multi-query/--no-multi-query", default=None)
+def process_questions(root, config, use_hyde, use_multi_query):
+    """Answer questions.json against the built index."""
+    p = _pipeline(root, config, use_hyde=use_hyde, use_multi_query=use_multi_query)
+    result = p.process_questions()
+    click.echo(json.dumps(result["statistics"], ensure_ascii=False))
+
+
+@cli.command("query")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="base", show_default=True)
+@click.option("--company", required=True)
+@click.option("--question", required=True)
+@click.option("--top-n", default=5, show_default=True)
+@click.option("--method", default="basic", show_default=True,
+              type=click.Choice(["basic", "ssg", "triangulation", "hybrid_expansion"]))
+def query(root, config, company, question, top_n, method):
+    """One-shot retrieval: show top chunks with scores (no answer LLM)."""
+    from rag_challenge_2_tpu.index import load_index
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+
+    p = _pipeline(root, config)
+    idx, meta = load_index(p.paths.index_path)
+    eng = QueryEngine(idx, meta)
+    q_emb = p.embedder([question])
+    cfg = SearchConfig(method=method, top_n=top_n, top_k=top_n)
+    results = eng.materialize(eng.search(q_emb, company, question, cfg=cfg), cfg)
+    for r in results:
+        click.echo(
+            f"[{r['distance']:.4f}] {r['source_sha1']} p{r['page']} "
+            f"hits={r['hit_count']} methods={r['method_count']}: {r['text'][:80]}"
+        )
+
+
+@cli.command("bench")
+def bench():
+    """Run the driver benchmark (prints one JSON line)."""
+    import bench as bench_mod
+
+    bench_mod.main()
+
+
+if __name__ == "__main__":
+    cli()

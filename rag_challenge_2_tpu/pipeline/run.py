@@ -1,0 +1,241 @@
+"""Pipeline stages and named run configurations.
+
+Stage methods mirror the reference ``Pipeline``
+(reference src/pipeline.py:103-331) over the TPU-native components;
+``RunConfig`` carries the same flags (reference :45-62) extended with the
+retrieval-method knobs; the named-config registry mirrors the reference's
+13 presets (reference :476-488) with their provider/model/flag choices —
+the IBM entries are kept for parity but route through the OpenAI-compatible
+client (the original contest proxy is long gone).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..index import load_index
+from ..ingestion import (
+    CorpusIngestor,
+    PageTextPreparation,
+    TableSerializer,
+    TextSplitter,
+    get_parser,
+)
+from ..llm import LLMFacade, LLMReranker, get_provider
+from ..qa import QAConfig, QuestionsProcessor
+from ..retrieval.engine import QueryEngine
+from .paths import PipelineConfig, next_available_filename
+
+
+@dataclasses.dataclass
+class RunConfig:
+    use_serialized_tables: bool = False
+    parent_document_retrieval: bool = False
+    use_vector_dbs: bool = True
+    use_bm25_db: bool = False
+    llm_reranking: bool = False
+    llm_reranking_sample_size: int = 30
+    top_n_retrieval: int = 10
+    parallel_requests: int = 10
+    team_email: str = ""
+    submission_name: str = ""
+    pipeline_details: str = ""
+    submission_file: bool = True
+    full_context: bool = False
+    api_provider: str = "qwen"
+    answering_model: str = "qwen-turbo"
+    config_suffix: str = ""
+    # retrieval-method extensions (Streamlit-era knobs, reference
+    # app_jinpan_qa.py:1528-1857)
+    use_hyde: bool = False
+    use_multi_query: bool = False
+    retrieval_method: str = "basic"
+    max_hops: int = 4
+    neighbor_k: int = 30
+    answer_schema: str = "jingpan"
+
+
+class Pipeline:
+    def __init__(
+        self,
+        root_path: Path,
+        run_config: RunConfig = RunConfig(),
+        embedder: Optional[Callable[[List[str]], np.ndarray]] = None,
+        provider=None,
+    ):
+        self.run_config = run_config
+        self.paths = PipelineConfig(
+            root_path,
+            serialized=run_config.use_serialized_tables,
+            config_suffix=run_config.config_suffix,
+        )
+        self._embedder = embedder
+        self._provider = provider
+
+    # lazy deps --------------------------------------------------------
+    @property
+    def provider(self):
+        if self._provider is None:
+            self._provider = get_provider(self.run_config.api_provider)
+        return self._provider
+
+    @property
+    def embedder(self):
+        if self._embedder is None:
+            from ..models.encoder import EmbeddingModel
+
+            self._embedder = EmbeddingModel().embed
+        return self._embedder
+
+    # ingestion stages (reference src/pipeline.py:204,145,153,162,171) --
+    def parse_pdf_reports(self, parallel: bool = False, chunk_size: int = 2, max_workers: int = 10) -> None:
+        parser = get_parser(self.paths.parsed_reports_path, self.paths.subset_path)
+        inputs = sorted(self.paths.pdf_reports_dir.glob("*"))
+        inputs = [p for p in inputs if p.suffix.lower() in (".pdf", ".txt")]
+        if parallel and hasattr(parser, "parse_and_export_parallel"):
+            parser.parse_and_export_parallel(inputs, chunk_size=chunk_size, max_workers=max_workers)
+        else:
+            parser.parse_and_export(inputs)
+
+    def serialize_tables(self, max_workers: int = 5) -> None:
+        TableSerializer(self.provider, max_workers=max_workers).process_directory_parallel(
+            self.paths.parsed_reports_path, self.paths.serialized_reports_path
+        )
+
+    def merge_reports(self) -> None:
+        prep = PageTextPreparation(
+            use_serialized_tables=self.run_config.use_serialized_tables
+        )
+        src = (
+            self.paths.serialized_reports_path
+            if self.run_config.use_serialized_tables
+            and self.paths.serialized_reports_path.exists()
+            else self.paths.parsed_reports_path
+        )
+        prep.process_reports(src, self.paths.merged_reports_path)
+
+    def export_reports_to_markdown(self) -> None:
+        PageTextPreparation().export_to_markdown(
+            self.paths.merged_reports_path, self.paths.reports_markdown_path
+        )
+
+    def chunk_reports(self) -> None:
+        TextSplitter().split_all_reports(
+            self.paths.merged_reports_path,
+            self.paths.documents_dir,
+            serialized_tables_dir=(
+                self.paths.serialized_reports_path
+                if self.run_config.use_serialized_tables
+                else None
+            ),
+        )
+
+    def create_vector_dbs(self) -> None:
+        """Chunked reports → one on-device corpus index npz (dense + BM25
+        CSR in one artifact — the role of reference :186-202)."""
+        CorpusIngestor(self.embedder, with_sparse=True).process_reports(
+            self.paths.documents_dir, self.paths.index_path
+        )
+
+    create_bm25_db = create_vector_dbs  # same artifact carries the CSR index
+
+    def process_parsed_reports(self) -> None:
+        self.merge_reports()
+        self.export_reports_to_markdown()
+        self.chunk_reports()
+        self.create_vector_dbs()
+
+    # question answering (reference :254-331) ---------------------------
+    def build_processor(self) -> QuestionsProcessor:
+        idx, meta = load_index(self.paths.index_path)
+        rc = self.run_config
+        qa_cfg = QAConfig(
+            schema=rc.answer_schema,
+            use_hyde=rc.use_hyde,
+            use_multi_query=rc.use_multi_query,
+            llm_reranking=rc.llm_reranking,
+            llm_reranking_sample_size=rc.llm_reranking_sample_size,
+            top_n_retrieval=rc.top_n_retrieval,
+            return_parent_pages=rc.parent_document_retrieval,
+            retrieval_method=rc.retrieval_method,
+            max_hops=rc.max_hops,
+            neighbor_k=rc.neighbor_k,
+            full_context=rc.full_context,
+            parallel_requests=rc.parallel_requests,
+            answering_model=rc.answering_model,
+        )
+        return QuestionsProcessor(
+            QueryEngine(idx, meta),
+            self.embedder,
+            LLMFacade(self.provider),
+            LLMReranker(self.provider) if rc.llm_reranking else None,
+            qa_cfg,
+        )
+
+    def process_questions(self) -> Dict:
+        with open(self.paths.questions_file_path, "r", encoding="utf-8") as f:
+            questions = json.load(f)
+        processor = self.build_processor()
+        out_path = next_available_filename(self.paths.answers_file_path)
+        rc = self.run_config
+        return processor.process_questions_list(
+            questions,
+            str(out_path),
+            submission_file=rc.submission_file,
+            team_email=rc.team_email,
+            submission_name=rc.submission_name,
+            pipeline_details=rc.pipeline_details,
+        )
+
+
+# ---------------------------------------------------------------- presets
+
+def _cfg(**kw) -> RunConfig:
+    return RunConfig(**kw)
+
+
+configs: Dict[str, RunConfig] = {
+    "base": _cfg(),
+    "pdr": _cfg(parent_document_retrieval=True),
+    "max": _cfg(parent_document_retrieval=True, llm_reranking=True,
+                use_serialized_tables=True),
+    "max_no_ser_tab": _cfg(parent_document_retrieval=True, llm_reranking=True),
+    # the reference's best config (reference src/pipeline.py:480)
+    "max_nst_o3m": _cfg(parent_document_retrieval=True, llm_reranking=True,
+                        api_provider="openai", answering_model="o3-mini-2025-01-31",
+                        config_suffix="_max_nst_o3m"),
+    "max_st_o3m": _cfg(parent_document_retrieval=True, llm_reranking=True,
+                       use_serialized_tables=True, api_provider="openai",
+                       answering_model="o3-mini-2025-01-31",
+                       config_suffix="_max_st_o3m"),
+    "ibm_llama70b": _cfg(parent_document_retrieval=True,
+                         answering_model="meta-llama/llama-3-3-70b-instruct",
+                         api_provider="openai", config_suffix="_ibm_llama70b"),
+    "ibm_llama8b": _cfg(parent_document_retrieval=True,
+                        answering_model="meta-llama/llama-3-1-8b-instruct",
+                        api_provider="openai", config_suffix="_ibm_llama8b"),
+    "gemini_thinking": _cfg(parent_document_retrieval=True, full_context=True,
+                            parallel_requests=1, api_provider="gemini",
+                            answering_model="gemini-2.0-flash-thinking-exp-01-21",
+                            config_suffix="_gemini_thinking_fc"),
+    "qwen": _cfg(parent_document_retrieval=True, llm_reranking=True,
+                 parallel_requests=4, api_provider="qwen",
+                 answering_model="qwen-turbo", config_suffix="_qwen_v2"),
+    "qwen_max": _cfg(parent_document_retrieval=True, llm_reranking=True,
+                     parallel_requests=4, api_provider="qwen",
+                     answering_model="qwen-max-2025-01-25",
+                     config_suffix="_qwen_max_v2"),
+    "qwen_plus": _cfg(parent_document_retrieval=True, llm_reranking=True,
+                      parallel_requests=4, api_provider="qwen",
+                      answering_model="qwen-plus-2025-07-28",
+                      config_suffix="_qwen_plus_v2"),
+    # offline smoke preset (stub provider; used by tests/CI)
+    "offline": _cfg(parent_document_retrieval=True, api_provider="stub",
+                    answering_model="stub", parallel_requests=1,
+                    submission_file=True, config_suffix="_offline"),
+}

@@ -1,0 +1,215 @@
+"""Ingestion layer: merging rules, splitter, plain-text parser, table
+serialization, end-to-end ingest → index."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rag_challenge_2_tpu.ingestion import (
+    CorpusIngestor,
+    PageTextPreparation,
+    PlainTextParser,
+    TableSerializer,
+    TextSplitter,
+    clean_text,
+    count_tokens,
+    normalize_page_sequence,
+    split_text,
+)
+from rag_challenge_2_tpu.llm import StubProvider
+
+
+# ---------------------------------------------------------------- merging
+
+def _parsed_report(blocks, tables=None, page=1):
+    return {
+        "metainfo": {"sha1_name": "J2024_t", "company_name": "c", "year": 2024},
+        "content": [{"page": page, "content": blocks, "page_dimensions": {}}],
+        "tables": tables or [],
+        "pictures": [],
+    }
+
+
+def test_merge_drops_footers_and_pictures():
+    rep = _parsed_report([
+        {"type": "text", "text": "正文"},
+        {"type": "page_footer", "text": "第1页"},
+        {"type": "picture", "text": ""},
+    ])
+    out = PageTextPreparation().process_report(rep)
+    text = out["content"]["pages"][0]["text"]
+    assert "正文" in text and "第1页" not in text
+
+
+def test_merge_header_levels():
+    rep = _parsed_report([
+        {"type": "page_header", "text": "年度报告"},
+        {"type": "section_header", "text": "财务概要"},
+        {"type": "text", "text": "内容"},
+    ])
+    text = PageTextPreparation().process_report(rep)["content"]["pages"][0]["text"]
+    assert "# 年度报告" in text
+    assert "## 财务概要" in text  # page_header took the top level
+
+
+def test_merge_table_group_with_footnote():
+    rep = _parsed_report(
+        [
+            {"type": "text", "text": "主要数据如下："},
+            {"type": "table", "table_id": 0, "text": ""},
+            {"type": "footnote", "text": "注：单位为万元"},
+        ],
+        tables=[{"table_id": 0, "page": 1, "markdown": "|指标|数值|\n|--|--|\n|营收|100|"}],
+    )
+    text = PageTextPreparation().process_report(rep)["content"]["pages"][0]["text"]
+    assert "|营收|100|" in text
+    assert "注：单位为万元" in text
+    assert "### 主要数据如下：" in text
+
+
+def test_merge_list_group():
+    rep = _parsed_report([
+        {"type": "text", "text": "主要产品："},
+        {"type": "list_item", "text": "干式变压器"},
+        {"type": "list_item", "text": "储能系统"},
+    ])
+    text = PageTextPreparation().process_report(rep)["content"]["pages"][0]["text"]
+    assert "- 干式变压器" in text and "- 储能系统" in text
+
+
+def test_merge_serialized_table_substitution():
+    tables = [{
+        "table_id": 0, "page": 1, "markdown": "|a|b|",
+        "serialized": {"information_blocks": [
+            {"subject_core_entity": "营收", "information_block": "2024年营收为100亿元"}
+        ]},
+    }]
+    rep = _parsed_report([{"type": "table", "table_id": 0, "text": ""}], tables)
+    p = PageTextPreparation(use_serialized_tables=True, serialized_tables_instead_of_markdown=True)
+    text = p.process_report(rep)["content"]["pages"][0]["text"]
+    assert "2024年营收为100亿元" in text and "|a|b|" not in text
+
+
+def test_clean_text_glyphs():
+    s, n = clean_text("营收/one.tnum/zero.tnum/percent.tnum glyph<c=3,font=F4>增长")
+    assert s == "营收10% 增长".replace(" ", " ") or "10%" in s
+    assert n == 4
+
+
+def test_unknown_block_type_raises():
+    rep = _parsed_report([{"type": "hologram", "text": "x"}])
+    with pytest.raises(ValueError, match="Unknown block type"):
+        PageTextPreparation().process_report(rep)
+
+
+# ---------------------------------------------------------------- splitter
+
+def test_split_respects_token_budget():
+    text = "。".join(f"这是第{i}句话，包含一些财务数据{i*7}万元" for i in range(100))
+    chunks = split_text(text, chunk_size=60, chunk_overlap=10)
+    assert len(chunks) > 3
+    for c in chunks:
+        assert count_tokens(c) <= 60 + 12  # small slack for attached separators
+
+
+def test_split_overlap_carries_context():
+    text = "\n\n".join(f"paragraph number {i} with several tokens" for i in range(30))
+    chunks = split_text(text, chunk_size=40, chunk_overlap=15)
+    # consecutive chunks share some text
+    shared = sum(1 for a, b in zip(chunks, chunks[1:]) if a[-12:] in b or b.startswith(a.split()[-1]))
+    assert shared >= 1
+
+
+def test_split_report_appends_serialized_tables():
+    report = {
+        "metainfo": {"sha1_name": "x"},
+        "content": {"pages": [{"page": 1, "text": "正文内容" * 10}]},
+    }
+    serialized = {"tables": [{
+        "table_id": 0, "page": 1,
+        "serialized": {"information_blocks": [
+            {"subject_core_entity": "营收", "information_block": "营收信息块"}
+        ]},
+    }]}
+    out = TextSplitter().split_report(report, serialized)
+    kinds = [c["type"] for c in out["content"]["chunks"]]
+    assert "content" in kinds and "serialized_table" in kinds
+    ids = [c["id"] for c in out["content"]["chunks"]]
+    assert ids == list(range(len(ids)))
+
+
+def test_split_empty_page():
+    report = {"metainfo": {}, "content": {"pages": [{"page": 1, "text": "   "}]}}
+    out = TextSplitter().split_report(report)
+    assert out["content"]["chunks"] == []
+
+
+# ------------------------------------------------------------- pdf contract
+
+def test_plain_text_parser(tmp_path):
+    doc = tmp_path / "J2024_demo.txt"
+    doc.write_text("第一页第一段\n\n第一页第二段\f第二页内容", encoding="utf-8")
+    meta = tmp_path / "subset.csv"
+    meta.write_text("sha1,company_name,year\nJ2024_demo,金盘科技,2024\n", encoding="utf-8")
+    parser = PlainTextParser(tmp_path / "out", metadata_path=meta)
+    parser.parse_and_export([doc])
+    rep = json.loads((tmp_path / "out" / "J2024_demo.json").read_text())
+    assert rep["metainfo"]["company_name"] == "金盘科技"
+    assert rep["metainfo"]["year"] == 2024
+    assert len(rep["content"]) == 2
+    assert rep["content"][0]["content"][0]["text"] == "第一页第一段"
+
+
+def test_normalize_page_sequence_fills_gaps():
+    pages = [{"page": 1, "content": []}, {"page": 4, "content": []}]
+    out = normalize_page_sequence(pages)
+    assert [p["page"] for p in out] == [1, 2, 3, 4]
+    assert out[1]["content"] == []
+
+
+# --------------------------------------------------------------- serializer
+
+def test_table_serializer(tmp_path):
+    blocks = {"subject_core_entities_list": ["营收"],
+              "information_blocks": [
+                  {"subject_core_entity": "营收", "information_block": "2024年营收100亿"}]}
+    provider = StubProvider({"表格": json.dumps(blocks, ensure_ascii=False)})
+    rep = _parsed_report(
+        [{"type": "text", "text": "上文"}, {"type": "table", "table_id": 0, "text": ""}],
+        tables=[{"table_id": 0, "page": 1, "html": "<table>...</table>"}],
+    )
+    src = tmp_path / "in"; src.mkdir()
+    (src / "r.json").write_text(json.dumps(rep, ensure_ascii=False), encoding="utf-8")
+    TableSerializer(provider).process_directory_parallel(src, tmp_path / "out")
+    out = json.loads((tmp_path / "out" / "r.json").read_text())
+    assert out["tables"][0]["serialized"]["information_blocks"][0]["information_block"] == "2024年营收100亿"
+    # context made it into the prompt
+    assert any("上文" in c["user"] for c in provider.calls)
+
+
+# ------------------------------------------------------------ end-to-end
+
+def test_ingest_pipeline_to_index(tmp_path, rng):
+    # plain text → parse → merge → split → ingest → queryable index
+    doc = tmp_path / "J2023_co.txt"
+    doc.write_text("金盘科技2023年年报\n\n营业收入为50亿元\f第二页：研发费用2亿元", encoding="utf-8")
+    meta = tmp_path / "subset.csv"
+    meta.write_text("sha1,company_name,year\nJ2023_co,金盘科技,2023\n", encoding="utf-8")
+    parser = PlainTextParser(tmp_path / "parsed", metadata_path=meta)
+    parser.parse_and_export([doc])
+    merged = PageTextPreparation().process_report(
+        json.loads((tmp_path / "parsed" / "J2023_co.json").read_text())
+    )
+    chunked = TextSplitter().split_report(merged)
+
+    dim = 32
+    def embedder(texts):
+        out = rng.normal(size=(len(texts), dim)).astype(np.float32)
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    ing = CorpusIngestor(embedder, vocab_bits=12)
+    idx, cmeta = ing.build([chunked])
+    assert idx.n_docs == 1 and idx.n_chunks == len(chunked["content"]["chunks"])
+    assert cmeta.companies == ["金盘科技"]
+    assert int(np.asarray(idx.year)[0]) == 2023

@@ -1,0 +1,92 @@
+"""Pipeline stages end-to-end on a txt-based fixture with offline config
+(the reference's data-driven verification style, SURVEY.md §4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rag_challenge_2_tpu.pipeline import Pipeline, configs, next_available_filename
+from rag_challenge_2_tpu.pipeline.run import RunConfig
+from rag_challenge_2_tpu.llm import StubProvider
+
+
+@pytest.fixture
+def data_root(tmp_path, rng):
+    root = tmp_path / "test_set"
+    (root / "pdf_reports").mkdir(parents=True)
+    (root / "pdf_reports" / "J2023_jp.txt").write_text(
+        "金盘科技2023年年报\n\n营业收入为50.2亿元，同比增长20%\f第二页：研发费用2.1亿元",
+        encoding="utf-8",
+    )
+    (root / "pdf_reports" / "J2024_jp.txt").write_text(
+        "金盘科技2024年年报\n\n营业收入为68.9亿元，同比增长37%\f第二页：研发费用3.2亿元",
+        encoding="utf-8",
+    )
+    (root / "subset.csv").write_text(
+        "sha1,company_name,year\nJ2023_jp,金盘科技,2023\nJ2024_jp,金盘科技,2024\n",
+        encoding="utf-8",
+    )
+    (root / "questions.json").write_text(json.dumps([
+        {"question": "金盘科技2024年营业收入是多少", "schema": "number"},
+    ], ensure_ascii=False), encoding="utf-8")
+    return root
+
+
+def _embedder(rng, dim=32):
+    def embed(texts):
+        out = np.stack([
+            rng.normal(size=dim) + len(t) * 0.01 for t in texts
+        ]).astype(np.float32)
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+    return embed
+
+
+def _offline_pipeline(root, rng):
+    answer = json.dumps({
+        "step_by_step_analysis": "步骤" * 40, "reasoning_summary": "s",
+        "relevant_pages": [1], "final_answer": 68.9,
+    }, ensure_ascii=False)
+    provider = StubProvider({
+        "候选页面": json.dumps({"selected_pages": [1], "reasoning": "r"}, ensure_ascii=False),
+        "上下文": answer,
+    })
+    cfg = RunConfig(api_provider="stub", answering_model="stub",
+                    parallel_requests=1, parent_document_retrieval=True,
+                    submission_file=True, config_suffix="_offline")
+    return Pipeline(root, cfg, embedder=_embedder(rng), provider=provider)
+
+
+def test_full_pipeline_stages(data_root, rng):
+    p = _offline_pipeline(data_root, rng)
+    p.parse_pdf_reports()
+    assert (p.paths.parsed_reports_path / "J2024_jp.json").exists()
+    p.process_parsed_reports()
+    assert p.paths.index_path.exists()
+    assert (p.paths.reports_markdown_path / "J2024_jp.md").exists()
+    chunked = json.loads((p.paths.documents_dir / "J2024_jp.json").read_text())
+    assert chunked["content"]["chunks"], "chunks produced"
+
+    result = p.process_questions()
+    assert result["statistics"]["total_questions"] == 1
+    answers = data_root / "answers_offline.json"
+    assert answers.exists()
+    sub = json.loads(answers.read_text())
+    assert sub["answers"][0]["value"] == 68.9
+
+
+def test_numbered_filenames(tmp_path):
+    p = tmp_path / "answers.json"
+    assert next_available_filename(p) == p
+    p.write_text("{}")
+    assert next_available_filename(p).name == "answers_01.json"
+
+
+def test_configs_registry_covers_reference_presets():
+    # the reference's 12 named configs (src/pipeline.py:476-488) + offline
+    for key in ("base", "pdr", "max", "max_no_ser_tab", "max_nst_o3m",
+                "max_st_o3m", "ibm_llama70b", "ibm_llama8b",
+                "gemini_thinking", "qwen", "qwen_max", "qwen_plus", "offline"):
+        assert key in configs
+    assert configs["max_nst_o3m"].llm_reranking
+    assert configs["gemini_thinking"].full_context
