@@ -122,5 +122,21 @@ def bench():
     bench_mod.main()
 
 
+
+
+@cli.command("serve")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="qwen", show_default=True)
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8899, show_default=True)
+@click.option("--company", default="金盘科技", show_default=True)
+def serve_cmd(root, config, host, port, company):
+    """Launch the web QA frontend over the built index."""
+    from rag_challenge_2_tpu.serving import serve
+
+    p = _pipeline(root, config)
+    serve(p.build_processor(), host=host, port=port, default_company=company)
+
+
 if __name__ == "__main__":
     cli()

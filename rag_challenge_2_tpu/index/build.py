@@ -77,6 +77,37 @@ def _build_sparse(
     """
     V = 1 << vocab_bits
     n = len(chunk_texts)
+
+    if max_postings_per_term is None:
+        # native C++ builder (native/csr_builder.cpp) — same tokenizer and
+        # hash, ~2 orders faster at million-chunk scale; silently falls back
+        # to the Python path when the toolchain is missing
+        from ..utils.native import build_csr_native
+
+        nat = build_csr_native(list(chunk_texts), vocab_bits)
+        if nat is not None:
+            indptr, chunk_ids_n, tf_n, df_n, chunk_len_n = nat
+            nnz = int(indptr[-1])
+            nnz_pad = max(_round_up(max(nnz, 1), 128), 128)
+            chunk_ids = np.full((nnz_pad,), n_pad - 1, np.int32)
+            tf = np.zeros((nnz_pad,), np.float32)
+            chunk_ids[:nnz] = chunk_ids_n
+            tf[:nnz] = tf_n
+            chunk_len = np.zeros((n_pad,), np.float32)
+            chunk_len[:n] = chunk_len_n
+            counts = np.diff(indptr)
+            avgdl = float(chunk_len[:n].mean()) if n else 1.0
+            return SparseIndex(
+                indptr=jnp.asarray(indptr, jnp.int32),
+                chunk_ids=jnp.asarray(chunk_ids),
+                tf=jnp.asarray(tf),
+                df=jnp.asarray(df_n),
+                chunk_len=jnp.asarray(chunk_len),
+                avgdl=jnp.float32(avgdl),
+                vocab_bits=vocab_bits,
+                max_postings=int(counts.max()) if len(counts) else 0,
+            )
+
     # term -> list of (chunk, tf)
     tf_maps: List[Dict[int, int]] = []
     chunk_len = np.zeros((n_pad,), np.float32)

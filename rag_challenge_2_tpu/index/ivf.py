@@ -1,0 +1,141 @@
+"""IVF-Flat clustered index (the faiss-IVF equivalent, built on TPU).
+
+Layout: rows are permuted so each cluster's rows are contiguous
+(``emb_perm``), with ``list_offsets [K+1]`` marking ranges and ``row_ids``
+mapping permuted positions back to corpus rows.  Query = coarse top-nprobe
+centroid scores, then an exact scan over the probed lists gathered with a
+static window (``max_list``), then top-k — all one jitted graph.  Equal
+memory vs the flat index: same f32 rows, plus K·D centroids (<1% at
+K=√N·4).
+
+Recall target: match faiss IVF-Flat at the same (K, nprobe) on recall@10
+vs exact (BASELINE.md config 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmeans import kmeans
+from ..ops.topk import NEG_INF
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class IVFIndex:
+    centroids: jax.Array     # f32 [K, D]
+    emb_perm: jax.Array      # f32 [N_pad, D] — rows grouped by cluster
+    row_ids: jax.Array       # i32 [N_pad] — permuted position → corpus row (-1 pad)
+    list_offsets: jax.Array  # i32 [K + 1]
+    k_clusters: int = dataclasses.field(metadata=dict(static=True), default=0)
+    max_list: int = dataclasses.field(metadata=dict(static=True), default=0)
+    dim: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def build_ivf(
+    emb: jax.Array,
+    n_clusters: Optional[int] = None,
+    iters: int = 10,
+    seed: int = 0,
+    valid: Optional[jax.Array] = None,
+) -> IVFIndex:
+    """Cluster + permute. ``emb`` may include zero padding rows — pass
+    ``valid`` to keep them out of every list."""
+    N, D = emb.shape
+    if valid is None:
+        valid_np = np.ones((N,), bool)
+    else:
+        valid_np = np.asarray(valid)
+    rows = np.nonzero(valid_np)[0]
+    K = n_clusters or max(1, int(np.sqrt(len(rows)) * 4))
+    x = jnp.asarray(np.asarray(emb)[rows], jnp.float32)
+    centroids, assign = kmeans(x, K, iters=iters, seed=seed)
+    assign = np.asarray(assign)
+
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    counts = np.bincount(sorted_assign, minlength=K)
+    offsets = np.zeros((K + 1,), np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    n_pad = N  # keep the padded length of the source matrix
+    emb_perm = np.zeros((n_pad, D), np.float32)
+    row_ids = np.full((n_pad,), -1, np.int32)
+    emb_perm[: len(rows)] = np.asarray(x)[order]
+    row_ids[: len(rows)] = rows[order]
+
+    return IVFIndex(
+        centroids=centroids,
+        emb_perm=jnp.asarray(emb_perm, emb.dtype),
+        row_ids=jnp.asarray(row_ids),
+        list_offsets=jnp.asarray(offsets, jnp.int32),
+        k_clusters=K,
+        max_list=int(counts.max()) if len(counts) else 0,
+        dim=D,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "window"))
+def ivf_search(
+    index: IVFIndex,
+    q: jax.Array,
+    k: int,
+    nprobe: int = 8,
+    window: Optional[int] = None,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k corpus rows per query.  ``mask`` (optional, [N] over corpus
+    rows) applies routing exactly as in the flat path.
+
+    window: static per-list gather width (defaults to the longest list).
+    """
+    B, D = q.shape
+    W = int(window or max(index.max_list, 1))
+    qf = q.astype(jnp.float32)
+
+    coarse = jnp.dot(qf, index.centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(coarse, min(nprobe, index.k_clusters))  # [B, P]
+    P = probes.shape[1]
+    k_eff = min(k, P * W)
+
+    starts = index.list_offsets[probes]              # [B, P]
+    ends = index.list_offsets[probes + 1]            # [B, P]
+    offs = jnp.arange(W, dtype=jnp.int32)            # [W]
+
+    # Scan over probes with a running top-k: the candidate-vector gather is
+    # [B, W, D] per step instead of [B, P, W, D] at once — this is what
+    # keeps 1M-row corpora inside HBM.
+    def step(carry, p):
+        top_v, top_r = carry
+        pos = starts[:, p, None] + offs              # [B, W]
+        in_list = offs[None, :] < (ends[:, p] - starts[:, p])[:, None]
+        pos = jnp.clip(pos, 0, index.emb_perm.shape[0] - 1)
+        cand_rows = index.row_ids[pos]               # [B, W]
+        cand_vecs = index.emb_perm[pos]              # [B, W, D]
+        scores = jnp.einsum(
+            "bd,bwd->bw", qf, cand_vecs.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ok = in_list & (cand_rows >= 0)
+        if mask is not None:
+            ok = ok & mask[jnp.maximum(cand_rows, 0)]
+        scores = jnp.where(ok, scores, NEG_INF)
+        cv = jnp.concatenate([top_v, scores], axis=1)
+        cr = jnp.concatenate([top_r, jnp.where(ok, cand_rows, -1)], axis=1)
+        nv, ni = jax.lax.top_k(cv, k_eff)
+        nr = jnp.take_along_axis(cr, ni, axis=1)
+        return (nv, nr), None
+
+    init = (
+        jnp.full((B, k_eff), NEG_INF, jnp.float32),
+        jnp.full((B, k_eff), -1, jnp.int32),
+    )
+    (vals, rows), _ = jax.lax.scan(step, init, jnp.arange(P))
+    rows = jnp.where(vals > NEG_INF / 2, rows, -1)
+    return vals, rows

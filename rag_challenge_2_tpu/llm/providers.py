@@ -42,6 +42,10 @@ def _safe_default(schema: Type[BaseModel]) -> Dict[str, Any]:
         ann = str(field.annotation)
         if "List" in ann or "list" in ann:
             out[name] = []
+        elif "str" in ann:
+            # any union admitting text (e.g. jingpan's float|int|bool|str)
+            # defaults to the reference's "no answer" sentinel
+            out[name] = "N/A"
         elif "bool" in ann:
             out[name] = False
         elif "float" in ann or "int" in ann:

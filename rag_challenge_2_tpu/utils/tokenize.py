@@ -18,7 +18,7 @@ arrays feed the on-device CSR BM25 kernel in ops/bm25.py.
 
 from __future__ import annotations
 
-import hashlib
+
 import re
 import unicodedata
 from typing import List
@@ -51,14 +51,22 @@ def tokenize(text: str) -> List[str]:
     return out
 
 
-def hash_token(token: str, vocab_bits: int = DEFAULT_VOCAB_BITS) -> int:
-    """Stable 64-bit blake2b hash folded into the vocab size.
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
 
-    Stable across processes/machines (unlike Python's ``hash``), so indexes
-    built on one host are queryable from another.
+
+def hash_token(token: str, vocab_bits: int = DEFAULT_VOCAB_BITS) -> int:
+    """FNV-1a 64 folded into the vocab size.
+
+    Stable across processes/machines (unlike Python's ``hash``) and trivially
+    reproducible in the C++ CSR builder (native/csr_builder.cpp) — both
+    sides MUST produce identical ids for the same token.
     """
-    h = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
-    return int.from_bytes(h, "little") & ((1 << vocab_bits) - 1)
+    h = _FNV_OFFSET
+    for b in token.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h & ((1 << vocab_bits) - 1)
 
 
 def token_ids(text: str, vocab_bits: int = DEFAULT_VOCAB_BITS) -> List[int]:

@@ -1,0 +1,88 @@
+"""k-means + IVF index: clustering sanity, recall vs exact, routing mask."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rag_challenge_2_tpu.index.ivf import build_ivf, ivf_search
+from rag_challenge_2_tpu.ops.kmeans import assign_clusters, kmeans
+from rag_challenge_2_tpu.ops.topk import dense_topk
+
+
+def _clustered_data(rng, n_clusters=8, per=100, d=32, spread=0.05):
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = np.repeat(centers, per, axis=0) + spread * rng.normal(
+        size=(n_clusters * per, d)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32), centers
+
+
+def test_kmeans_recovers_clusters(rng):
+    x, centers = _clustered_data(rng)
+    cents, assign = kmeans(jnp.asarray(x), 8, iters=15, seed=1)
+    assign = np.asarray(assign)
+    # points from the same true cluster should mostly share a label
+    purity = 0
+    for c in range(8):
+        labels = assign[c * 100 : (c + 1) * 100]
+        purity += np.bincount(labels, minlength=8).max()
+    assert purity / len(x) > 0.9
+
+
+def test_assign_blocks_match_full(rng):
+    x = rng.normal(size=(1000, 16)).astype(np.float32)
+    c = rng.normal(size=(10, 16)).astype(np.float32)
+    a1 = np.asarray(assign_clusters(jnp.asarray(x), jnp.asarray(c), block=128))
+    d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(a1, d.argmin(1))
+
+
+def test_ivf_recall_vs_exact(rng):
+    x, _ = _clustered_data(rng, n_clusters=16, per=200, d=64)
+    q = x[rng.choice(len(x), 20)] + 0.01 * rng.normal(size=(20, 64)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    idx = build_ivf(jnp.asarray(x), n_clusters=16, iters=10)
+    xv, xi = dense_topk(jnp.asarray(q), jnp.asarray(x), 10, impl="xla")
+    # generous probes → near-exact
+    vv, vi = ivf_search(idx, jnp.asarray(q), 10, nprobe=8)
+    recall = np.mean([
+        len(set(np.asarray(vi[b])) & set(np.asarray(xi[b]))) / 10 for b in range(20)
+    ])
+    assert recall > 0.95, recall
+    # tight probes → still decent on clustered data
+    vv1, vi1 = ivf_search(idx, jnp.asarray(q), 10, nprobe=2)
+    recall1 = np.mean([
+        len(set(np.asarray(vi1[b])) & set(np.asarray(xi[b]))) / 10 for b in range(20)
+    ])
+    assert recall1 > 0.5, recall1
+
+
+def test_ivf_scores_match_exact_for_found_rows(rng):
+    x, _ = _clustered_data(rng, n_clusters=4, per=50, d=16)
+    q = x[:3]
+    idx = build_ivf(jnp.asarray(x), n_clusters=4, iters=8)
+    vals, rows = ivf_search(idx, jnp.asarray(q), 5, nprobe=4)
+    for b in range(3):
+        for j in range(5):
+            r = int(rows[b, j])
+            if r >= 0:
+                np.testing.assert_allclose(
+                    float(vals[b, j]), float(q[b] @ x[r]), rtol=1e-4, atol=1e-5
+                )
+
+
+def test_ivf_respects_mask_and_padding(rng):
+    x, _ = _clustered_data(rng, n_clusters=4, per=64, d=16)
+    n = len(x)
+    xp = np.zeros((n + 64, 16), np.float32)
+    xp[:n] = x
+    valid = np.zeros((n + 64,), bool)
+    valid[:n] = True
+    idx = build_ivf(jnp.asarray(xp), n_clusters=4, iters=5, valid=jnp.asarray(valid))
+    mask = np.zeros((n + 64,), bool)
+    mask[: n // 2] = True
+    vals, rows = ivf_search(idx, jnp.asarray(x[:2]), 8, nprobe=4, mask=jnp.asarray(mask))
+    rows = np.asarray(rows)
+    assert (rows[rows >= 0] < n // 2).all()

@@ -1,0 +1,70 @@
+"""Web frontend: drive the HTTP API against a live server."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture
+def webapp(tiny_corpus, rng):
+    from tests.test_qa import make_processor, BASE_SCRIPT
+    from rag_challenge_2_tpu.serving import QAWebApp
+
+    proc, provider = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    app = QAWebApp(proc, default_company="金盘科技")
+    server = app.make_server(port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}", provider
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/api/ask", json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return json.loads(urllib.request.urlopen(req).read())
+
+
+def test_index_page_and_bank(webapp):
+    url, _ = webapp
+    html = urllib.request.urlopen(url + "/").read().decode()
+    assert "金盘科技年报问答" in html and "hybrid_expansion" in html
+    bank = json.loads(urllib.request.urlopen(url + "/api/bank").read())
+    assert isinstance(bank, list) and bank
+
+
+def test_ask_endpoint_full_payload(webapp):
+    url, _ = webapp
+    out = _post(url, {"question": "2023年营业收入是多少", "method": "basic",
+                      "schema": "number", "top_n": 5})
+    assert out["final_answer"] == 68.9
+    assert out["relevant_pages"]
+    assert "all_retrieved_chunks" in out and "timing" in out
+
+
+def test_ask_with_config_override_and_years(webapp):
+    url, _ = webapp
+    out = _post(url, {"question": "营业收入", "method": "ssg", "max_hops": 2,
+                      "neighbor_k": 4, "years": [2023]})
+    assert "error" not in out
+    # only 2023 docs retrieved
+    for c in out["all_retrieved_chunks"]:
+        assert "doc" in c["text"] or c["text"]
+
+
+def test_ask_empty_question(webapp):
+    url, _ = webapp
+    out = _post(url, {"question": "  "})
+    assert out["error"] == "empty question"
+
+
+def test_ask_with_history(webapp):
+    url, provider = webapp
+    out = _post(url, {"question": "那净利润呢", "history": [
+        {"question": "2023年营收", "answer": "68.9"}]})
+    assert "error" not in out
+    assert any("历史对话上下文" in c["user"] for c in provider.calls)
