@@ -110,7 +110,7 @@ def main():
     ])
     log(f"device exact: {dev_qps:.1f} qps, recall@{K} vs oracle = {recall:.4f}")
 
-    # secondary: pallas fused kernel at the same shape (row-shared mask path)
+    # secondary metrics
     extras = {}
     try:
         full_mask = jnp.ones((N,), bool)
@@ -124,6 +124,30 @@ def main():
         log(f"pallas fused (unrouted): {extras['pallas_fused_qps']} qps")
     except Exception as e:  # pragma: no cover
         log(f"pallas path skipped: {e}")
+
+    # bf16 fast mode (one-pass MXU): the serving configuration for corpora
+    # where exact f32 parity is not required (recall vs exact ≈ 0.99)
+    try:
+        emb16 = jemb.astype(jnp.bfloat16)
+        q16 = jq.astype(jnp.bfloat16)
+
+        def fast():
+            return dense_topk(q16, emb16, K, mask=jmask, impl="xla")
+
+        fv, fi = fast()
+        sync(fv)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fv, fi = fast()
+        sync(fv)
+        extras["bf16_fast_qps"] = round(NQ * reps / (time.perf_counter() - t0), 1)
+        got16 = np.asarray(fi)
+        extras["bf16_recall_at_10"] = round(float(np.mean([
+            len(set(got16[i]) & set(oracle_idx[i])) / K for i in range(NQ)
+        ])), 4)
+        log(f"bf16 fast: {extras['bf16_fast_qps']} qps, recall {extras['bf16_recall_at_10']}")
+    except Exception as e:  # pragma: no cover
+        log(f"bf16 path skipped: {e}")
 
     print(json.dumps({
         "metric": "exact_flat_query_qps_valset_shape",

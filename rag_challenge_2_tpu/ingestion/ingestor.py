@@ -57,3 +57,70 @@ class CorpusIngestor:
         reports = load_chunked_reports(Path(chunked_dir))
         idx, meta = self.build(reports)
         save_index(Path(output_path), idx, meta)
+
+    def add_reports(
+        self,
+        index: CorpusIndex,
+        meta: CorpusMeta,
+        new_reports: List[Dict],
+        new_embeddings: Optional[List[np.ndarray]] = None,
+    ) -> Tuple[CorpusIndex, CorpusMeta]:
+        """Incremental build (BASELINE.md config 4): embed ONLY the new
+        documents on device, splice their rows after the existing corpus,
+        and rebuild the cheap host-side parts (metadata columns + CSR term
+        index — the native builder makes the CSR rebuild trivial next to
+        embedding cost).  Existing embeddings are reused verbatim.
+        """
+        n_old = index.n_chunks
+        old_emb = np.asarray(index.emb[:n_old], np.float32)
+        old_doc_ids = np.asarray(index.doc_id[:n_old])
+
+        # reconstruct per-document embedding blocks in original doc order
+        old_blocks = [
+            old_emb[old_doc_ids == d] for d in range(index.n_docs)
+        ]
+        old_reports = _reports_from_meta(index, meta)
+
+        new_embs = (
+            [np.asarray(e, np.float32) for e in new_embeddings]
+            if new_embeddings is not None
+            else self.embed_reports(new_reports)
+        )
+        return build_corpus_index(
+            old_reports + list(new_reports),
+            old_blocks + new_embs,
+            with_sparse=self.with_sparse,
+            vocab_bits=self.vocab_bits,
+        )
+
+
+def _reports_from_meta(index: CorpusIndex, meta: CorpusMeta) -> List[Dict]:
+    """Reconstruct chunked-report dicts from an index + sidecar (enough
+    structure for a rebuild: metainfo, pages, chunks in row order)."""
+    import numpy as _np
+
+    n = index.n_chunks
+    doc_ids = _np.asarray(index.doc_id[:n])
+    pages_arr = _np.asarray(index.page[:n])
+    kinds = _np.asarray(index.kind[:n])
+    reports: List[Dict] = []
+    for d, doc in enumerate(meta.docs):
+        page_list = [
+            {"page": pg, "text": meta.page_texts.get(seg, "")}
+            for seg, (dd, pg) in enumerate(meta.page_seg_info)
+            if dd == d
+        ]
+        chunks = []
+        for row in _np.nonzero(doc_ids == d)[0]:
+            chunks.append({
+                "page": int(pages_arr[row]),
+                "text": meta.chunk_texts[row],
+                "id": len(chunks),
+                "type": "serialized_table" if kinds[row] == 1 else "content",
+            })
+        reports.append({
+            "metainfo": {"sha1_name": doc.sha1, "company_name": doc.company,
+                         "year": doc.year},
+            "content": {"pages": page_list, "chunks": chunks},
+        })
+    return reports

@@ -213,3 +213,46 @@ def test_ingest_pipeline_to_index(tmp_path, rng):
     assert idx.n_docs == 1 and idx.n_chunks == len(chunked["content"]["chunks"])
     assert cmeta.companies == ["金盘科技"]
     assert int(np.asarray(idx.year)[0]) == 2023
+
+
+def test_incremental_add_reports(tmp_path, rng):
+    from rag_challenge_2_tpu.ops.topk import dense_topk
+    import jax.numpy as jnp
+
+    dim = 16
+    calls = {"n": 0}
+
+    def embedder(texts):
+        calls["n"] += len(texts)
+        out = rng.normal(size=(len(texts), dim)).astype(np.float32)
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    def mk(sha1, company, year, texts):
+        return {
+            "metainfo": {"sha1_name": sha1, "company_name": company, "year": year},
+            "content": {
+                "pages": [{"page": i + 1, "text": t} for i, t in enumerate(texts)],
+                "chunks": [{"page": i + 1, "text": t, "id": i, "type": "content"}
+                           for i, t in enumerate(texts)],
+            },
+        }
+
+    ing = CorpusIngestor(embedder, vocab_bits=12)
+    idx1, meta1 = ing.build([mk("J2023_a", "金盘科技", 2023, ["营收50亿", "利润4亿"])])
+    n_after_build = calls["n"]
+    idx2, meta2 = ing.add_reports(
+        idx1, meta1, [mk("J2024_a", "金盘科技", 2024, ["营收68亿", "利润5亿", "研发3亿"])]
+    )
+    # only the 3 new chunks were embedded
+    assert calls["n"] == n_after_build + 3
+    assert idx2.n_docs == 2 and idx2.n_chunks == 5
+    # old embeddings preserved exactly
+    np.testing.assert_allclose(
+        np.asarray(idx2.emb[:2]), np.asarray(idx1.emb[:2]), rtol=1e-6
+    )
+    # both year routes work on the merged index
+    from rag_challenge_2_tpu.retrieval.routing import route_mask
+    m24 = np.asarray(route_mask(idx2, meta2.company_id("金盘科技"), years=[2024]))
+    assert m24.sum() == 3
+    # sparse rebuilt over the full corpus
+    assert float(idx2.sparse.chunk_len[4]) > 0
