@@ -96,7 +96,9 @@ def process_questions(root, config, use_hyde, use_multi_query):
 @click.option("--top-n", default=5, show_default=True)
 @click.option("--method", default="basic", show_default=True,
               type=click.Choice(["basic", "ssg", "triangulation", "hybrid_expansion"]))
-def query(root, config, company, question, top_n, method):
+@click.option("--use-bm25/--no-bm25", default=False, show_default=True,
+              help="fuse sparse BM25 hits into the dense results")
+def query(root, config, company, question, top_n, method, use_bm25):
     """One-shot retrieval: show top chunks with scores (no answer LLM)."""
     from rag_challenge_2_tpu.index import load_index
     from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
@@ -105,8 +107,10 @@ def query(root, config, company, question, top_n, method):
     idx, meta = load_index(p.paths.index_path)
     eng = QueryEngine(idx, meta)
     q_emb = p.embedder([question])
-    cfg = SearchConfig(method=method, top_n=top_n, top_k=top_n)
-    results = eng.materialize(eng.search(q_emb, company, question, cfg=cfg), cfg)
+    cfg = SearchConfig(method=method, top_n=top_n, top_k=top_n, use_bm25=use_bm25)
+    results = eng.materialize(
+        eng.search(q_emb, company, question, cfg=cfg, query_texts=[question]), cfg
+    )
     for r in results:
         click.echo(
             f"[{r['distance']:.4f}] {r['source_sha1']} p{r['page']} "

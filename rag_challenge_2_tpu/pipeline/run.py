@@ -166,6 +166,7 @@ class Pipeline:
             max_hops=rc.max_hops,
             neighbor_k=rc.neighbor_k,
             full_context=rc.full_context,
+            use_bm25=rc.use_bm25_db,
             parallel_requests=rc.parallel_requests,
             answering_model=rc.answering_model,
         )

@@ -57,6 +57,7 @@ class QAConfig:
     expand_top_k: int = 5
     expand_context_size: int = 1
     full_context: bool = False
+    use_bm25: bool = False          # hybrid dense+BM25 fusion in the engine
     parallel_requests: int = 1
     answering_model: Optional[str] = None
     new_challenge_pipeline: bool = True
@@ -357,10 +358,12 @@ class QuestionsProcessor:
             max_queries=8,
             return_parent_pages=cfg.return_parent_pages,
             top_n=top_n,
+            use_bm25=cfg.use_bm25,
         )
         t0 = time.perf_counter()
         cands = self.engine.search(
-            q_embs, company, question, selected_years=selected_years, cfg=scfg
+            q_embs, company, question, selected_years=selected_years, cfg=scfg,
+            query_texts=exp.queries,
         )
         results = self.engine.materialize(cands, scfg)
         timing["vector_search"] = time.perf_counter() - t0

@@ -55,6 +55,12 @@ class SearchConfig:
     max_docs: int = 8
     return_parent_pages: bool = False
     top_n: int = 30                 # final aggregated candidate count
+    # hybrid BM25 fusion (BASELINE.md config 2): sparse hits join the dense
+    # ones as their own retrieval method (method-diversity bonus applies);
+    # BM25 scores are max-normalized per query so the max-based aggregation
+    # operates on a cosine-comparable [0, 1] scale
+    use_bm25: bool = False
+    bm25_top_k: int = 30
 
 
 def _flatten_hits(rows, sims, qids, mids, valid):
@@ -76,6 +82,7 @@ def search_device(
     doc_masks: jax.Array,  # [M, N] bool routed row masks, one per doc slot
     doc_valid: jax.Array,  # [M] bool
     cfg: SearchConfig,
+    q_terms: Optional[jax.Array] = None,  # [Q, T] hashed term ids (use_bm25)
 ) -> FusedCandidates:
     """Full fan-out + aggregation for one question, on device."""
     Q, D = q.shape
@@ -141,6 +148,21 @@ def search_device(
     else:
         raise ValueError(f"unknown method {cfg.method!r}")
 
+    if cfg.use_bm25 and q_terms is not None and index.sparse is not None:
+        from ..ops.bm25 import bm25_scores
+
+        sparse_scores = bm25_scores(index.sparse, q_terms, N)   # [Q, N]
+        sp = sparse_scores[jnp.repeat(jnp.arange(Q), M)]        # [Q*M, N]
+        sp = jnp.where(pair_mask, sp, NEG_INF)
+        k_bm = min(cfg.bm25_top_k, N)
+        bv, brows = jax.lax.top_k(sp, k_bm)
+        ok_b = bv > 0.0  # zero-score rows carry no term match
+        norm = jnp.maximum(jnp.max(bv, axis=1, keepdims=True), 1e-9)
+        sims_b = jnp.where(ok_b, bv / norm, 0.0)
+        qids_b = jnp.broadcast_to(qid_pair[:, None], brows.shape)
+        mids_b = jnp.full(brows.shape, METHOD_IDS["bm25"], jnp.int32)
+        blocks.append((brows, sims_b, qids_b, mids_b, ok_b))
+
     flat = [
         jnp.concatenate(parts)
         for parts in zip(*[_flatten_hits(*b) for b in blocks])
@@ -205,6 +227,7 @@ class QueryEngine:
         question: str = "",
         selected_years: Optional[Sequence[int]] = None,
         cfg: SearchConfig = SearchConfig(),
+        query_texts: Optional[Sequence[str]] = None,
     ) -> FusedCandidates:
         doc_ids = self.routed_docs(company, question, selected_years)
         if not doc_ids:
@@ -215,7 +238,16 @@ class QueryEngine:
         q[:B] = query_embs[:B]
         qv = np.zeros((cfg.max_queries,), bool)
         qv[:B] = True
-        return search_device(self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg)
+        q_terms = None
+        if cfg.use_bm25 and self.index.sparse is not None:
+            from ..ops.bm25 import encode_queries
+
+            texts = list(query_texts or [question])[: cfg.max_queries]
+            texts += [""] * (cfg.max_queries - len(texts))
+            q_terms = encode_queries(texts, vocab_bits=self.index.sparse.vocab_bits)
+        return search_device(
+            self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg, q_terms
+        )
 
     # -- materialisation -------------------------------------------------
     def materialize(

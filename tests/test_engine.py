@@ -93,3 +93,35 @@ def test_ssg_method_end_to_end(engine, rng):
     # anchor (exact row 3 of doc 1) must be among results
     rows = [r["rep_row"] for r in res]
     assert any(r >= 0 for r in rows)
+
+
+def test_hybrid_bm25_fusion(engine, rng):
+    eng, reports, embs = engine
+    # query text matches chunk 5's text tokens; dense vector points at chunk 7
+    q = _q_for(embs, 0, 7, rng, noise=0.001)
+    target_text = reports[0]["content"]["chunks"][5]["text"]
+    cfg = SearchConfig(method="basic", top_k=3, top_n=10, use_bm25=True, bm25_top_k=3)
+    cands = eng.search(q, "金盘科技", cfg=cfg, query_texts=[target_text])
+    res = eng.materialize(cands, cfg)
+    rows = {r["rep_row"] for r in res}
+    assert 7 in rows, "dense hit present"
+    assert 5 in rows, "bm25 hit fused in"
+    # bm25-only hits have method_count 1; a chunk hit by both would get 2
+    by_row = {r["rep_row"]: r for r in res}
+    assert by_row[5]["method_count"] >= 1
+    # normalized bm25 scores stay in [0, 1.5] (bonuses aside)
+    assert 0 < by_row[5]["base_similarity"] <= 1.0
+
+
+def test_bm25_retriever_standalone(engine, rng):
+    from rag_challenge_2_tpu.retrieval.sparse import BM25Retriever
+
+    eng, reports, embs = engine
+    rr = BM25Retriever(eng.index, eng.meta)
+    text = reports[0]["content"]["chunks"][2]["text"]
+    out = rr.retrieve_by_company_name("金盘科技", text, top_n=3)
+    assert out and out[0]["rep_row"] == 2
+    out_p = rr.retrieve_by_company_name("金盘科技", text, top_n=3, return_parent_pages=True)
+    assert out_p and out_p[0]["page"] == reports[0]["content"]["chunks"][2]["page"]
+    with pytest.raises(ValueError, match="No report found"):
+        rr.retrieve_by_company_name("不存在", text)
