@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.tokenize import TOKENIZER_VERSION
 from .schema import CorpusIndex, CorpusMeta, DocMeta, SparseIndex
 
 _FORMAT_VERSION = 1
@@ -46,6 +47,7 @@ def save_index(path: Path, idx: CorpusIndex, meta: Optional[CorpusMeta] = None) 
         "dim": idx.dim,
         "emb_dtype": str(np.asarray(idx.emb).dtype),
         "has_sparse": idx.sparse is not None,
+        "tokenizer_version": TOKENIZER_VERSION,
     }
     if idx.sparse is not None:
         sp = idx.sparse
@@ -77,6 +79,16 @@ def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Option
     path = Path(path)
     z = np.load(path, allow_pickle=False)
     statics = json.loads(str(z["__statics__"]))
+    stamped = statics.get("tokenizer_version")
+    if stamped is not None and stamped != TOKENIZER_VERSION:
+        import warnings
+
+        warnings.warn(
+            f"index {path} was built with tokenizer {stamped!r}; current is "
+            f"{TOKENIZER_VERSION!r} — BM25 term ids and encoder token ids "
+            "will not match. Rebuild with process-reports.",
+            stacklevel=2,
+        )
     sparse = None
     if statics.get("has_sparse"):
         sparse = SparseIndex(

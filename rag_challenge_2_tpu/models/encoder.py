@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils import tokenize as tok
 
@@ -47,10 +48,24 @@ class EncoderConfig:
 
 class Block(nn.Module):
     cfg: EncoderConfig
+    # sequence parallelism (GSPMD formulation): activations between blocks
+    # are constrained to shard their sequence axis over the ``model`` mesh
+    # axis, so norms/residuals/elementwise run sequence-sharded and XLA
+    # inserts the all-gather/reduce-scatter pair around attention — the
+    # Megatron-SP communication pattern without hand-written collectives.
+    mesh: Optional[Mesh] = None
+
+    def _sp(self, x):
+        if self.mesh is not None and "model" in self.mesh.shape:
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P("data", "model", None))
+            )
+        return x
 
     @nn.compact
     def __call__(self, x, mask):
         c = self.cfg
+        x = self._sp(x)
         h = nn.LayerNorm(dtype=c.dtype, name="ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.n_heads,
@@ -63,13 +78,14 @@ class Block(nn.Module):
         h = nn.Dense(c.d_ff, dtype=c.dtype, name="mlp_in")(h)
         h = nn.gelu(h)
         h = nn.Dense(c.d_model, dtype=c.dtype, name="mlp_out")(h)
-        return x + h
+        return self._sp(x + h)
 
 
 class Encoder(nn.Module):
     """Mean-pooled transformer encoder → unit-norm embedding."""
 
     cfg: EncoderConfig
+    mesh: Optional[Mesh] = None  # set to enable sequence parallelism
 
     @nn.compact
     def __call__(self, token_ids: jax.Array) -> jax.Array:
@@ -84,7 +100,7 @@ class Encoder(nn.Module):
         x = x + pos
         attn_mask = nn.make_attention_mask(pad, pad, dtype=c.dtype)
         for i in range(c.n_layers):
-            x = Block(c, name=f"block{i}")(x, attn_mask)
+            x = Block(c, mesh=self.mesh, name=f"block{i}")(x, attn_mask)
         x = nn.LayerNorm(dtype=c.dtype, name="ln_f")(x)
         denom = jnp.maximum(jnp.sum(pad, axis=1, keepdims=True), 1)
         pooled = jnp.sum(x * pad[..., None], axis=1) / denom

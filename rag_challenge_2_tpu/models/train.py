@@ -32,6 +32,7 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 0.01
     temperature: float = 0.05
+    sequence_parallel: bool = False  # shard sequence axis over 'model' too
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -88,8 +89,10 @@ def init_training(
     seed: int = 0,
 ):
     """Init sharded params + optimizer state + jitted step on the mesh."""
-    module = Encoder(cfg)
-    params = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 8), jnp.int32))
+    module = Encoder(cfg, mesh=mesh if tc.sequence_parallel else None)
+    # init through the unconstrained module: the sp constraints add no
+    # params but reject the tiny (1, 8) init batch on multi-device meshes
+    params = Encoder(cfg).init(jax.random.PRNGKey(seed), jnp.zeros((1, 8), jnp.int32))
     params = shard_params(params, mesh)
     optimizer = make_optimizer(tc)
     opt_state = optimizer.init(params)

@@ -33,6 +33,11 @@ _TOKEN_RE = re.compile(rf"([{_CJK}]+)|([a-z0-9]+(?:\.[0-9]+)?)")
 
 DEFAULT_VOCAB_BITS = 20  # 1M-slot hashed vocabulary
 
+# Bump whenever tokenization or hashing changes: indexes stamp this and the
+# loader warns on mismatch — a stale index silently mismatches query-time
+# term ids otherwise (hits vanish instead of erroring).
+TOKENIZER_VERSION = "fnv1a64-cjk12-v1"
+
 
 def normalize(text: str) -> str:
     """NFKC-fold (full-width → half-width, etc.) and lower-case."""

@@ -1,6 +1,7 @@
 """Corpus index builder + persistence round-trip."""
 
 import numpy as np
+import pytest
 
 from rag_challenge_2_tpu.index import build_corpus_index, save_index, load_index
 
@@ -65,3 +66,24 @@ def test_save_load_roundtrip(tiny_corpus, tmp_path):
     sp, sp2 = idx.sparse, idx2.sparse
     np.testing.assert_array_equal(np.asarray(sp.indptr), np.asarray(sp2.indptr))
     np.testing.assert_allclose(float(sp.avgdl), float(sp2.avgdl))
+
+
+def test_tokenizer_version_stamp_warns(tiny_corpus, tmp_path):
+    import warnings
+    from rag_challenge_2_tpu.index import store as store_mod
+
+    idx, meta, *_ = tiny_corpus
+    p = tmp_path / "c.npz"
+    save_index(p, idx, meta)
+    # same version → silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_index(p)
+    # simulate version bump
+    orig = store_mod.TOKENIZER_VERSION
+    store_mod.TOKENIZER_VERSION = "other-v9"
+    try:
+        with pytest.warns(UserWarning, match="tokenizer"):
+            load_index(p)
+    finally:
+        store_mod.TOKENIZER_VERSION = orig

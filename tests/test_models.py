@@ -72,3 +72,28 @@ def test_param_sharding_specs_cover_all_params():
         spec = encoder_param_spec(path, leaf)  # must not raise
         # spec rank never exceeds leaf rank
         assert len([s for s in spec if s is not None]) <= leaf.ndim
+
+
+def test_sequence_parallel_train_step():
+    from rag_challenge_2_tpu.models.train import TrainConfig, init_training
+    from rag_challenge_2_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh({"data": 2, "model": 2})
+    module, params, opt_state, step = init_training(
+        SMALL, TrainConfig(lr=1e-2, sequence_parallel=True), mesh
+    )
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 1024, size=(8, 16)).astype(np.int32))
+    losses = []
+    for _ in range(4):
+        params, opt_state, metrics = step(params, opt_state, q, q)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    # sp and non-sp models compute the same function
+    from rag_challenge_2_tpu.models.encoder import Encoder
+    plain = Encoder(SMALL)
+    out_sp = module.apply(params, q)
+    out_plain = plain.apply(params, q)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_plain), atol=2e-2)
