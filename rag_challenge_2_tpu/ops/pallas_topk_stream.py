@@ -1,0 +1,170 @@
+"""Manually double-buffered streaming top-k (Pallas, explicit DMA).
+
+The grid-based kernel in pallas_topk.py pays per-grid-step scheduling
+overhead (~20 µs/tile measured through the axon terminal), which caps it
+near 100-160 GB/s.  This variant runs ONE kernel instance that drives its
+own HBM→VMEM double buffering with ``make_async_copy`` (the pattern from
+the Pallas guide), so the DMA for tile t+1 overlaps the matmul+merge of
+tile t without any grid machinery.
+
+Measured (v5e, 500k x 1024, B=128, k=30): 87-100 GB/s — SLOWER than both
+the grid kernel (88 GB/s bf16-effective, 158 f32) and XLA (168 GB/s f32):
+Mosaic's automatic grid pipelining already overlaps better than this
+hand-rolled loop, and per-call overhead dominates at these sizes.  Kept as
+the starting point for future tuning (multi-tile merge batching, prefetch
+depth > 2) and for corpora where XLA's [B, N] score buffer would not fit
+in HBM.
+
+Same contract as pallas_dense_topk: exact or fast matmul precision,
+row-shared mask, deterministic lowest-index tie-break.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_topk import _merge_topk
+from .topk import NEG_INF
+
+
+def _kernel(q_ref, emb_hbm, mask_hbm, vals_out, idx_out,
+            buf, mbuf, top_v, top_i, sem, msem,
+            *, k, tile_n, n_tiles, n_total, precision):
+    q = q_ref[:]
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(
+            emb_hbm.at[pl.ds(t * tile_n, tile_n), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    def mdma(slot, t):
+        return pltpu.make_async_copy(
+            mask_hbm.at[:, pl.ds(t * tile_n, tile_n)],
+            mbuf.at[slot],
+            msem.at[slot],
+        )
+
+    top_v[:] = jnp.full_like(top_v, NEG_INF)
+    top_i[:] = jnp.full_like(top_i, -1)
+    dma(0, 0).start()
+    mdma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            dma(nxt, t + 1).start()
+            mdma(nxt, t + 1).start()
+
+        dma(slot, t).wait()
+        mdma(slot, t).wait()
+
+        tile = buf[slot]
+        scores = jax.lax.dot_general(
+            q, tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        gidx = t * tile_n + col
+        ok = (gidx < n_total) & (mbuf[slot][0, :] > 0)[None, :]
+        scores = jnp.where(ok, scores, NEG_INF)
+
+        kth = top_v[:, k - 1]
+        any_better = jnp.any(scores > kth[:, None])
+
+        @pl.when(any_better)
+        def _():
+            cv = jnp.concatenate([top_v[:], scores], axis=1)
+            ci = jnp.concatenate([top_i[:], gidx], axis=1)
+            nv, ni = _merge_topk(cv, ci, k)
+            top_v[:] = nv
+            top_i[:] = ni
+
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, ())
+    vals_out[:] = top_v[:]
+    idx_out[:] = top_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "exact", "interpret"))
+def _call(q, emb, mask, k, tile_n, exact=True, interpret=False):
+    B, D = q.shape
+    N = emb.shape[0]
+    n_tiles = pl.cdiv(N, tile_n)
+    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(
+        _kernel, k=k, tile_n=tile_n, n_tiles=n_tiles, n_total=N,
+        precision=precision,
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pltpu.ANY),    # emb stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # mask stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n, D), emb.dtype),
+            pltpu.VMEM((2, 1, tile_n), jnp.float32),
+            pltpu.VMEM((B, k), jnp.float32),
+            pltpu.VMEM((B, k), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D * emb.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, emb, mask)
+    return vals, idx
+
+
+def stream_dense_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    tile_n: int = 2048,
+    exact: bool = True,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Double-buffered streaming exact/fast top-k; mask is row-shared."""
+    N, D = emb.shape
+    pad = (-N) % tile_n
+    if mask is None:
+        mask = jnp.ones((N,), jnp.float32)
+    else:
+        mask = mask.astype(jnp.float32)
+    if pad:
+        emb = jnp.pad(emb, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_eff = min(k, N)
+    return _call(
+        q.astype(emb.dtype), emb, mask[None, :], k_eff,
+        min(tile_n, emb.shape[0]), exact, interpret,
+    )

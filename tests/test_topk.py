@@ -71,3 +71,18 @@ def test_topk_k_larger_than_n(rng):
     emb = rng.normal(size=(8, 16)).astype(np.float32)
     vals, idx = dense_topk(jnp.asarray(q), jnp.asarray(emb), 20, impl="xla")
     assert vals.shape == (2, 8)
+
+
+def test_stream_topk_matches_xla(rng):
+    from rag_challenge_2_tpu.ops.pallas_topk_stream import stream_dense_topk
+
+    B, N, D, k = 4, 3000, 128, 9
+    q = rng.normal(size=(B, D)).astype(np.float32)
+    emb = rng.normal(size=(N, D)).astype(np.float32)
+    mask = rng.random(N) > 0.25
+    sv, si = stream_dense_topk(jnp.asarray(q), jnp.asarray(emb), k,
+                               jnp.asarray(mask), tile_n=512)
+    xv, xi = dense_topk(jnp.asarray(q), jnp.asarray(emb), k,
+                        mask=jnp.asarray(mask), impl="xla")
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(si) == np.asarray(xi)).all()
