@@ -40,6 +40,7 @@ class EncoderConfig:
     max_len: int = 512
     out_dim: int = 1024           # matches the reference embedding dim
     dtype: Any = jnp.bfloat16
+    moe_experts: int = 0          # >0 → odd blocks use a top-2 MoE FFN (ep)
 
     @property
     def vocab_size(self) -> int:
@@ -48,6 +49,7 @@ class EncoderConfig:
 
 class Block(nn.Module):
     cfg: EncoderConfig
+    use_moe: bool = False
     # sequence parallelism (GSPMD formulation): activations between blocks
     # are constrained to shard their sequence axis over the ``model`` mesh
     # axis, so norms/residuals/elementwise run sequence-sharded and XLA
@@ -75,9 +77,17 @@ class Block(nn.Module):
         )(h, h, mask=mask)
         x = x + h
         h = nn.LayerNorm(dtype=c.dtype, name="ln2")(x)
-        h = nn.Dense(c.d_ff, dtype=c.dtype, name="mlp_in")(h)
-        h = nn.gelu(h)
-        h = nn.Dense(c.d_model, dtype=c.dtype, name="mlp_out")(h)
+        if self.use_moe:
+            from .moe import MoEFFN
+
+            h = MoEFFN(
+                n_experts=c.moe_experts, d_model=c.d_model, d_ff=c.d_ff,
+                mesh=self.mesh, name="moe",
+            )(h)
+        else:
+            h = nn.Dense(c.d_ff, dtype=c.dtype, name="mlp_in")(h)
+            h = nn.gelu(h)
+            h = nn.Dense(c.d_model, dtype=c.dtype, name="mlp_out")(h)
         return self._sp(x + h)
 
 
@@ -100,7 +110,8 @@ class Encoder(nn.Module):
         x = x + pos
         attn_mask = nn.make_attention_mask(pad, pad, dtype=c.dtype)
         for i in range(c.n_layers):
-            x = Block(c, mesh=self.mesh, name=f"block{i}")(x, attn_mask)
+            use_moe = c.moe_experts > 0 and i % 2 == 1
+            x = Block(c, mesh=self.mesh, use_moe=use_moe, name=f"block{i}")(x, attn_mask)
         x = nn.LayerNorm(dtype=c.dtype, name="ln_f")(x)
         denom = jnp.maximum(jnp.sum(pad, axis=1, keepdims=True), 1)
         pooled = jnp.sum(x * pad[..., None], axis=1) / denom

@@ -64,6 +64,11 @@ def encoder_param_spec(path: tuple, leaf) -> P:
         return P(None, "model", None) if nd == 3 else (
             P("model", None) if nd == 2 else P()
         )
+    if "moe" in joined:
+        if "router" in joined:
+            return P()
+        # expert weights [E, ., .]: experts shard over 'model' (ep)
+        return P("model", None, None) if nd == 3 else P()
     if "mlp_in" in joined:
         return P(None, "model") if nd == 2 else P("model")
     if "mlp_out" in joined:

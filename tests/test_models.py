@@ -97,3 +97,50 @@ def test_sequence_parallel_train_step():
     out_sp = module.apply(params, q)
     out_plain = plain.apply(params, q)
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_plain), atol=2e-2)
+
+
+def test_moe_encoder_forward_and_ep_training():
+    from rag_challenge_2_tpu.models.train import TrainConfig, init_training
+    from rag_challenge_2_tpu.parallel.mesh import make_mesh
+
+    cfg_moe = EncoderConfig(vocab_bits=10, d_model=32, n_layers=2, n_heads=4,
+                            d_ff=64, max_len=32, out_dim=16, moe_experts=4)
+    m = EmbeddingModel(cfg_moe)
+    ids = jnp.asarray(tokenize_batch(["营业收入增长", "研发费用"], 32, 10))
+    out = m.embed_tokens(ids)
+    assert out.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, rtol=1e-5)
+    # expert weights present and sharded over 'model' on a mesh
+    flat = jax.tree_util.tree_leaves_with_path(m.params)
+    moe_leaves = [(p, l) for p, l in flat if "moe" in str(p)]
+    assert any(l.ndim == 3 and l.shape[0] == 4 for _, l in moe_leaves)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh({"data": 2, "model": 2})
+    module, params, opt_state, step = init_training(
+        cfg_moe, TrainConfig(lr=1e-2, sequence_parallel=True), mesh
+    )
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 1024, size=(8, 16)).astype(np.int32))
+    losses = []
+    for _ in range(4):
+        params, opt_state, metrics = step(params, opt_state, q, q)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_moe_dispatch_capacity():
+    from rag_challenge_2_tpu.models.moe import top2_dispatch
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    dispatch, combine, aux = top2_dispatch(logits, capacity=3)
+    d = np.asarray(dispatch)
+    # each expert accepts at most `capacity` tokens
+    assert (d.sum(axis=(0, 2)) <= 2 * 3 + 1e-6).all()
+    per_slot = d.sum(axis=0)  # [E, C] — each slot holds ≤1 token
+    assert (per_slot <= 1 + 1e-6).all()
+    # each token dispatched to ≤2 experts
+    assert (d.sum(axis=(1, 2)) <= 2 + 1e-6).all()
+    assert float(aux) > 0
