@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.topk import NEG_INF
 
@@ -74,7 +74,7 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data"):
         mesh=mesh,
         in_specs=(P(None, None), P(axis, None), P(axis)),
         out_specs=(P(None, None), P(None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
