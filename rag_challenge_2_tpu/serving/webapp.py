@@ -21,6 +21,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
+from ..eval.judge import JudgeHarness, summarize
 from ..qa.processor import QAConfig, QuestionsProcessor
 
 _PAGE = """<!DOCTYPE html>
@@ -178,6 +179,15 @@ class QAWebApp:
         self.question_bank = question_bank or DEFAULT_QUESTION_BANK
         self._lock = threading.Lock()
 
+    def evaluate(self, payload: Dict) -> Dict:
+        """LLM-judge a batch of QA records (the reference's 评估结果分析 tab,
+        reference app_jinpan_qa.py:2846+): POST records → judged + stats."""
+        records = payload.get("records", [])
+        if not isinstance(records, list) or not records:
+            return {"error": "records must be a non-empty list"}
+        harness = JudgeHarness(self.processor.llm)
+        return harness.judge_all(records)
+
     def ask(self, payload: Dict) -> Dict:
         question = payload.get("question", "").strip()
         if not question:
@@ -236,13 +246,15 @@ class QAWebApp:
                     self._send(404, b"not found", "text/plain")
 
             def do_POST(self):
-                if self.path != "/api/ask":
+                routes = {"/api/ask": app.ask, "/api/eval": app.evaluate}
+                handler = routes.get(self.path)
+                if handler is None:
                     self._send(404, b"{}", "application/json")
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
-                    result = app.ask(payload)
+                    result = handler(payload)
                 except Exception as e:
                     result = {"error": f"{type(e).__name__}: {e}"}
                 self._send(200, json.dumps(result, ensure_ascii=False, default=str).encode(),

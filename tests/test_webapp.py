@@ -68,3 +68,23 @@ def test_ask_with_history(webapp):
         {"question": "2023年营收", "answer": "68.9"}]})
     assert "error" not in out
     assert any("历史对话上下文" in c["user"] for c in provider.calls)
+
+
+def test_eval_endpoint(webapp):
+    url, provider = webapp
+    provider.scripted["标准答案"] = json.dumps(
+        {"score": 1.0, "reasoning": "一致", "is_correct": True}, ensure_ascii=False)
+    out = _post_path(url, "/api/eval", {"records": [
+        {"question": "2024年营收是多少", "standard_answer": "68.9亿", "rag_answer": "68.9亿"},
+    ]})
+    assert out["statistics"]["accuracy"] == 1.0
+    out2 = _post_path(url, "/api/eval", {"records": []})
+    assert "error" in out2
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path, json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return json.loads(urllib.request.urlopen(req).read())
