@@ -18,10 +18,12 @@ from rag_challenge_2_tpu.pipeline import Pipeline, configs
 
 
 def _pipeline(root: str, config: str, **overrides) -> Pipeline:
-    run_config = configs[config]
-    for k, v in overrides.items():
-        if v is not None:
-            setattr(run_config, k, v)
+    import dataclasses
+
+    # copy the preset: overrides must not mutate the shared registry entry
+    run_config = dataclasses.replace(
+        configs[config], **{k: v for k, v in overrides.items() if v is not None}
+    )
     return Pipeline(Path(root), run_config)
 
 

@@ -64,11 +64,11 @@ class Pipeline:
     def __init__(
         self,
         root_path: Path,
-        run_config: RunConfig = RunConfig(),
+        run_config: Optional[RunConfig] = None,
         embedder: Optional[Callable[[List[str]], np.ndarray]] = None,
         provider=None,
     ):
-        self.run_config = run_config
+        self.run_config = run_config = run_config or RunConfig()
         self.paths = PipelineConfig(
             root_path,
             serialized=run_config.use_serialized_tables,

@@ -71,8 +71,9 @@ class QuestionsProcessor:
         embedder: Callable[[List[str]], np.ndarray],
         llm: LLMFacade,
         reranker: Optional[LLMReranker] = None,
-        config: QAConfig = QAConfig(),
+        config: Optional[QAConfig] = None,
     ):
+        config = config or QAConfig()
         self.engine = engine
         self.embedder = embedder
         self.llm = llm
