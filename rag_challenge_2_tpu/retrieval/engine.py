@@ -61,6 +61,10 @@ class SearchConfig:
     # operates on a cosine-comparable [0, 1] scale
     use_bm25: bool = False
     bm25_top_k: int = 30
+    # IVF acceleration for the `basic` method (million-row corpora): the
+    # anchor/traversal paths stay exact; recall governed by nprobe
+    use_ivf: bool = False
+    ivf_nprobe: int = 8
 
 
 def _flatten_hits(rows, sims, qids, mids, valid):
@@ -83,6 +87,7 @@ def search_device(
     doc_valid: jax.Array,  # [M] bool
     cfg: SearchConfig,
     q_terms: Optional[jax.Array] = None,  # [Q, T] hashed term ids (use_bm25)
+    ivf=None,                             # IVFIndex when cfg.use_ivf
 ) -> FusedCandidates:
     """Full fan-out + aggregation for one question, on device."""
     Q, D = q.shape
@@ -98,7 +103,22 @@ def search_device(
     blocks: List[Tuple] = []
 
     def basic_block(k: int):
-        vals, rows = dense_topk(q_pair, emb, k, mask=pair_mask, impl="xla")
+        if cfg.use_ivf and ivf is not None:
+            from ..index.ivf import ivf_search
+
+            # per-pair masks: scan pairs (IVF's mask arg is row-shared)
+            def one(_, i):
+                v, r = ivf_search(
+                    ivf, q_pair[i][None, :], k,
+                    nprobe=cfg.ivf_nprobe, mask=pair_mask[i],
+                )
+                return None, (v[0], r[0])
+
+            _, (vals, rows) = jax.lax.scan(
+                one, None, jnp.arange(q_pair.shape[0])
+            )
+        else:
+            vals, rows = dense_topk(q_pair, emb, k, mask=pair_mask, impl="xla")
         ok = vals > NEG_INF / 2
         sims = jnp.where(ok, vals, 0.0)
         qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
@@ -187,10 +207,20 @@ class QueryEngine:
     (reference src/retrieval.py:1719-1754).
     """
 
-    def __init__(self, index: CorpusIndex, meta: CorpusMeta):
+    def __init__(self, index: CorpusIndex, meta: CorpusMeta, ivf=None):
         self.index = index
         self.meta = meta
+        self.ivf = ivf  # optional IVFIndex (build_ivf) for use_ivf configs
         self._doc_ids_np = np.asarray(index.doc_id)
+
+    def build_ivf(self, **kwargs):
+        """Cluster the corpus for SearchConfig(use_ivf=True) queries."""
+        from ..index.ivf import build_ivf
+
+        self.ivf = build_ivf(
+            np.asarray(self.index.emb), valid=self.index.valid, **kwargs
+        )
+        return self.ivf
 
     # -- routing ---------------------------------------------------------
     def routed_docs(
@@ -245,8 +275,11 @@ class QueryEngine:
             texts = list(query_texts or [question])[: cfg.max_queries]
             texts += [""] * (cfg.max_queries - len(texts))
             q_terms = encode_queries(texts, vocab_bits=self.index.sparse.vocab_bits)
+        if cfg.use_ivf and self.ivf is None:
+            raise ValueError("SearchConfig.use_ivf requires QueryEngine.build_ivf() first")
         return search_device(
-            self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg, q_terms
+            self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg, q_terms,
+            self.ivf if cfg.use_ivf else None,
         )
 
     # -- materialisation -------------------------------------------------

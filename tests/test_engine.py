@@ -125,3 +125,24 @@ def test_bm25_retriever_standalone(engine, rng):
     assert out_p and out_p[0]["page"] == reports[0]["content"]["chunks"][2]["page"]
     with pytest.raises(ValueError, match="No report found"):
         rr.retrieve_by_company_name("不存在", text)
+
+
+def test_ivf_accelerated_basic_search(engine, rng):
+    eng, reports, embs = engine
+    eng.build_ivf(n_clusters=4, iters=8)
+    q = _q_for(embs, 0, 5, rng)
+    cfg_ivf = SearchConfig(method="basic", top_k=5, top_n=10, use_ivf=True, ivf_nprobe=4)
+    cfg_exact = SearchConfig(method="basic", top_k=5, top_n=10)
+    r_ivf = eng.materialize(eng.search(q, "金盘科技", cfg=cfg_ivf), cfg_ivf)
+    r_exact = eng.materialize(eng.search(q, "金盘科技", cfg=cfg_exact), cfg_exact)
+    # generous nprobe on a tiny corpus → identical top hit
+    assert r_ivf[0]["rep_row"] == r_exact[0]["rep_row"] == 5
+    # routing respected through IVF
+    assert all(r["source_sha1"].startswith("J202") for r in r_ivf)
+
+
+def test_use_ivf_without_build_raises(engine, rng):
+    eng, _, embs = engine
+    q = _q_for(embs, 0, 0, rng)
+    with pytest.raises(ValueError, match="build_ivf"):
+        eng.search(q, "金盘科技", cfg=SearchConfig(method="basic", use_ivf=True))
