@@ -144,5 +144,31 @@ def serve_cmd(root, config, host, port, company):
     serve(p.build_processor(), host=host, port=port, default_company=company)
 
 
+@cli.command("train-encoder")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="base", show_default=True)
+@click.option("--steps", default=200, show_default=True)
+@click.option("--batch-size", default=64, show_default=True)
+@click.option("--out", default=None, help="params npz (default <databases>/encoder_params.npz)")
+def train_encoder(root, config, steps, batch_size, out):
+    """Self-supervised (ICT) encoder pretraining on the chunked corpus."""
+    from rag_challenge_2_tpu.index.build import load_chunked_reports
+    from rag_challenge_2_tpu.models.pretrain import (
+        PretrainConfig, pretrain_encoder, save_params,
+    )
+    from rag_challenge_2_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    p = _pipeline(root, config)
+    reports = load_chunked_reports(p.paths.documents_dir)
+    texts = [c["text"] for r in reports for c in r["content"]["chunks"]]
+    model, stats = pretrain_encoder(
+        texts, pre_cfg=PretrainConfig(steps=steps, batch_size=batch_size)
+    )
+    out = out or (p.paths.databases_path / "encoder_params.npz")
+    save_params(model, out)
+    click.echo(json.dumps({"params": str(out), **stats["final"]}, ensure_ascii=False))
+
+
 if __name__ == "__main__":
     cli()

@@ -1,0 +1,111 @@
+"""Self-supervised encoder pretraining on a chunked corpus.
+
+The reference rents its embedding quality from an API
+(Qwen text-embedding-v4).  To make on-device corpus embedding
+(BASELINE.md config 4) self-contained, the encoder trains on the corpus
+itself with the Inverse Cloze Task: a sampled span of a chunk is the
+"query", the remainder of the chunk is the "passage", and the global-batch
+InfoNCE of models/train.py supplies the negatives.  No labels, no external
+service — the same chunked-report JSONs that feed the index feed training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh
+from .encoder import EmbeddingModel, EncoderConfig, tokenize_batch
+from .train import TrainConfig, init_training
+
+
+@dataclasses.dataclass
+class PretrainConfig:
+    steps: int = 200
+    batch_size: int = 64
+    max_len: int = 64
+    min_span: int = 4
+    seed: int = 0
+
+
+def ict_pairs(
+    chunk_texts: List[str],
+    n: int,
+    rng: np.random.Generator,
+    min_span: int = 4,
+) -> Tuple[List[str], List[str]]:
+    """Sample (query span, remaining passage) pairs from chunks."""
+    texts = [t for t in chunk_texts if len(t) >= 2 * min_span]
+    if not texts:
+        raise ValueError("corpus has no chunks long enough for ICT")
+    queries, passages = [], []
+    for _ in range(n):
+        t = texts[rng.integers(0, len(texts))]
+        span_len = int(rng.integers(min_span, max(min_span + 1, len(t) // 2)))
+        start = int(rng.integers(0, len(t) - span_len + 1))
+        queries.append(t[start : start + span_len])
+        passages.append(t[:start] + t[start + span_len :])
+    return queries, passages
+
+
+def pretrain_encoder(
+    chunk_texts: List[str],
+    enc_cfg: Optional[EncoderConfig] = None,
+    pre_cfg: PretrainConfig = PretrainConfig(),
+    train_cfg: TrainConfig = TrainConfig(lr=3e-4),
+    mesh=None,
+    log_every: int = 50,
+) -> Tuple[EmbeddingModel, Dict]:
+    """Train from scratch on the corpus; returns the ready EmbeddingModel."""
+    enc_cfg = enc_cfg or EncoderConfig()
+    if mesh is None:
+        n = len(jax.devices())
+        mesh = make_mesh({"data": n, "model": 1})
+    module, params, opt_state, step = init_training(enc_cfg, train_cfg, mesh, seed=pre_cfg.seed)
+    rng = np.random.default_rng(pre_cfg.seed)
+    history = []
+    for i in range(pre_cfg.steps):
+        q_texts, p_texts = ict_pairs(chunk_texts, pre_cfg.batch_size, rng, pre_cfg.min_span)
+        q = jnp.asarray(tokenize_batch(q_texts, pre_cfg.max_len, enc_cfg.vocab_bits))
+        p = jnp.asarray(tokenize_batch(p_texts, pre_cfg.max_len, enc_cfg.vocab_bits))
+        params, opt_state, metrics = step(params, opt_state, q, p)
+        if i % log_every == 0 or i == pre_cfg.steps - 1:
+            history.append({
+                "step": i,
+                "loss": float(metrics["loss"]),
+                "accuracy": float(metrics["accuracy"]),
+            })
+    model = EmbeddingModel(enc_cfg, params=jax.device_get(params))
+    return model, {"history": history, "final": history[-1] if history else {}}
+
+
+# ------------------------------------------------------------ persistence
+
+def save_params(model: EmbeddingModel, path: Path) -> None:
+    """Flatten the param tree into an npz keyed by tree paths."""
+    flat = jax.tree_util.tree_flatten_with_path(model.params)[0]
+    arrays = {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+        for p, v in flat
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_params(model: EmbeddingModel, path: Path) -> EmbeddingModel:
+    """Restore params saved by save_params into a fresh model."""
+    z = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(model.params)
+    restored = []
+    for p, v in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        arr = z[key]
+        assert arr.shape == v.shape, f"shape mismatch at {key}"
+        restored.append(jnp.asarray(arr, v.dtype))
+    params = jax.tree_util.tree_unflatten(treedef, restored)
+    return EmbeddingModel(model.cfg, params=params)

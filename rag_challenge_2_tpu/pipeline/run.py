@@ -89,7 +89,14 @@ class Pipeline:
         if self._embedder is None:
             from ..models.encoder import EmbeddingModel
 
-            self._embedder = EmbeddingModel().embed
+            model = EmbeddingModel()
+            params_path = self.paths.databases_path / "encoder_params.npz"
+            if params_path.exists():
+                # corpus-pretrained weights (main.py train-encoder)
+                from ..models.pretrain import load_params
+
+                model = load_params(model, params_path)
+            self._embedder = model.embed
         return self._embedder
 
     # ingestion stages (reference src/pipeline.py:204,145,153,162,171) --

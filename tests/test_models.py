@@ -144,3 +144,37 @@ def test_moe_dispatch_capacity():
     # each token dispatched to ≤2 experts
     assert (d.sum(axis=(1, 2)) <= 2 + 1e-6).all()
     assert float(aux) > 0
+
+
+def test_ict_pretraining_learns_and_roundtrips(tmp_path):
+    from rag_challenge_2_tpu.models.pretrain import (
+        PretrainConfig, ict_pairs, load_params, pretrain_encoder, save_params,
+    )
+    from rag_challenge_2_tpu.models.train import TrainConfig
+
+    texts = [
+        f"金盘科技{2020+i}年度营业收入为{40+i*7}亿元，同比增长{5+i}个百分点，"
+        f"主要来自干式变压器与储能产品线的销售增长。" for i in range(20)
+    ]
+    rng = np.random.default_rng(0)
+    qs, ps = ict_pairs(texts, 8, rng)
+    assert len(qs) == 8 and all(q and p for q, p in zip(qs, ps))
+    # query span removed from its passage
+    assert all(q not in p or len(q) < 6 for q, p in zip(qs, ps))
+
+    model, stats = pretrain_encoder(
+        texts,
+        enc_cfg=SMALL,
+        pre_cfg=PretrainConfig(steps=30, batch_size=16, max_len=32),
+        train_cfg=TrainConfig(lr=3e-3),
+        log_every=29,
+    )
+    hist = stats["history"]
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+
+    path = tmp_path / "params.npz"
+    save_params(model, path)
+    m2 = load_params(EmbeddingModel(SMALL), path)
+    a = model.embed(["营业收入增长"], batch_size=4)
+    b = m2.embed(["营业收入增长"], batch_size=4)
+    np.testing.assert_allclose(a, b, atol=1e-5)
