@@ -399,6 +399,8 @@ class QuestionsProcessor:
         if selected_years is None and cfg.use_year_routing:
             selected_years = extract_years_from_question(question) or None
 
+        if progress_callback:
+            progress_callback("📚 召回相关文档中...", 25)
         results = self._retrieve(
             company_name, question, selected_years, timing, payload, progress_callback
         )
@@ -421,6 +423,8 @@ class QuestionsProcessor:
         all_context = self._format_retrieval_results(results)
         question_ctx = self._build_contextual_question(question, conversation_history)
 
+        if progress_callback:
+            progress_callback("🎯 LLM选择相关页面中...", 75)
         # stage 1: page selection (reference :771-819)
         t0 = time.perf_counter()
         psp = prompts.PageSelectionPrompt
@@ -443,6 +447,8 @@ class QuestionsProcessor:
         filtered = [r for r in results if r["page"] in set(validated_selected)]
 
         # stage 2: schema-typed answer (reference :821-840)
+        if progress_callback:
+            progress_callback("✍️ 生成最终答案中...", 80)
         rag_context = self._format_retrieval_results(filtered)
         t0 = time.perf_counter()
         answer = self.llm.get_answer_from_rag_context(

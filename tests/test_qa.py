@@ -151,3 +151,24 @@ def test_conversation_history_contextualizes(tiny_corpus, rng):
     # the answering call must include the history context
     answer_calls = [c for c in provider.calls if "历史对话上下文" in c["user"]]
     assert answer_calls, "history was not threaded into the answer prompt"
+
+
+def test_progress_callback_protocol(tiny_corpus, rng):
+    proc, _ = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    stages = []
+    proc.get_answer_for_company(
+        "金盘科技", "营业收入", "number",
+        progress_callback=lambda text, pct: stages.append((text, pct)),
+    )
+    assert stages, "callback never invoked"
+    pcts = [p for _, p in stages]
+    assert pcts == sorted(pcts), "progress must be monotonic"
+
+
+def test_device_trace_helper(tmp_path):
+    import jax.numpy as jnp
+    from rag_challenge_2_tpu.utils.profiling import device_trace
+
+    with device_trace(tmp_path / "tr", label="unit"):
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert any((tmp_path / "tr").rglob("*".strip())), "trace files written"
