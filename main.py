@@ -170,5 +170,24 @@ def train_encoder(root, config, steps, batch_size, out):
     click.echo(json.dumps({"params": str(out), **stats["final"]}, ensure_ascii=False))
 
 
+@cli.command("analyze-similarity")
+@click.option("--root", default="data/test_set", show_default=True)
+@click.option("--config", default="base", show_default=True)
+@click.option("--doc", default=0, show_default=True, help="document id")
+@click.option("--out", default=None, help="output dir (default <databases>/similarity)")
+def analyze_similarity(root, config, doc, out):
+    """Chunk-to-chunk cosine matrix + stats for one document
+    (the reference's semantic_similarity_analysis)."""
+    from rag_challenge_2_tpu.eval.similarity import analyze_document
+    from rag_challenge_2_tpu.index import load_index
+
+    p = _pipeline(root, config)
+    idx, meta = load_index(p.paths.index_path)
+    out = out or (p.paths.databases_path / "similarity")
+    stats = analyze_document(idx, meta, doc, output_dir=out)
+    click.echo(json.dumps(stats, ensure_ascii=False))
+
+
+
 if __name__ == "__main__":
     cli()
