@@ -152,13 +152,23 @@ class EmbeddingModel:
     def embed_tokens(self, token_ids: jax.Array) -> jax.Array:
         return self._fwd(self.params, token_ids)
 
+    @staticmethod
+    def _bucket(n: int, batch_size: int) -> int:
+        """Pad to the next power of two (min 8) up to batch_size: small
+        query batches stop paying the full corpus-batch compute while the
+        number of compiled shapes stays logarithmic."""
+        b = 8
+        while b < min(n, batch_size):
+            b *= 2
+        return min(b, batch_size)
+
     def embed(self, texts, batch_size: int = 256) -> np.ndarray:
         outs = []
         for s in range(0, len(texts), batch_size):
             chunk = texts[s : s + batch_size]
             ids = tokenize_batch(chunk, self.cfg.max_len, self.cfg.vocab_bits)
-            # pad the batch so every call shares one compiled shape
-            if len(chunk) < batch_size:
-                ids = np.pad(ids, ((0, batch_size - len(chunk)), (0, 0)), constant_values=-1)
+            bucket = self._bucket(len(chunk), batch_size)
+            if len(chunk) < bucket:
+                ids = np.pad(ids, ((0, bucket - len(chunk)), (0, 0)), constant_values=-1)
             outs.append(np.asarray(self.embed_tokens(jnp.asarray(ids)))[: len(chunk)])
         return np.concatenate(outs) if outs else np.zeros((0, self.cfg.out_dim), np.float32)

@@ -212,6 +212,7 @@ class QueryEngine:
         self.meta = meta
         self.ivf = ivf  # optional IVFIndex (build_ivf) for use_ivf configs
         self._doc_ids_np = np.asarray(index.doc_id)
+        self._mask_cache: Dict[tuple, tuple] = {}
 
     def build_ivf(self, **kwargs):
         """Cluster the corpus for SearchConfig(use_ivf=True) queries."""
@@ -241,13 +242,19 @@ class QueryEngine:
     ) -> Tuple[jax.Array, jax.Array]:
         if len(doc_ids) > max_docs:
             doc_ids = list(doc_ids)[:max_docs]
+        key = (tuple(doc_ids), max_docs)
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
         m = np.zeros((max_docs, self.index.n_pad), bool)
         v = np.zeros((max_docs,), bool)
         valid = np.asarray(self.index.valid)
         for i, d in enumerate(doc_ids):
             m[i] = valid & (self._doc_ids_np == d)
             v[i] = True
-        return jnp.asarray(m), jnp.asarray(v)
+        out = (jnp.asarray(m), jnp.asarray(v))
+        self._mask_cache[key] = out  # routes are few; device masks are reused
+        return out
 
     # -- search ----------------------------------------------------------
     def search(
@@ -288,6 +295,9 @@ class QueryEngine:
     ) -> List[Dict]:
         """Device candidates → reference-shaped result dicts
         (keys follow reference src/retrieval.py:1719-1754)."""
+        # one transfer for the whole pytree: per-leaf np.asarray costs a
+        # relay round trip each (~30 ms here)
+        cands = jax.device_get(cands)
         keys = np.asarray(cands.key)
         scores = np.asarray(cands.score)
         base = np.asarray(cands.base_sim)
