@@ -189,5 +189,26 @@ def analyze_similarity(root, config, doc, out):
 
 
 
+@cli.command("rank")
+@click.option("--submissions-dir", required=True, type=click.Path(exists=True))
+@click.option("--answers", required=True, type=click.Path(exists=True),
+              help="canonical answers JSON (question -> {kind, answers, reference_pools})")
+@click.option("--max-questions", default=60, show_default=True)
+@click.option("--csv-out", default=None)
+def rank(submissions_dir, answers, max_questions, csv_out):
+    """Score submissions against canonical answers (the reference's rank.py)."""
+    from rag_challenge_2_tpu.eval import rank_submissions
+
+    scores = rank_submissions(
+        Path(submissions_dir), Path(answers),
+        max_questions=max_questions,
+        csv_out=Path(csv_out) if csv_out else None,
+    )
+    for i, s in enumerate(scores):
+        click.echo(f"{i+1}. {s.submission_name or s.file_name}: "
+                   f"score={s.score:.2f} (val {s.val_score:.1f} + ref {s.ref_score:.1f}/2)")
+
+
+
 if __name__ == "__main__":
     cli()

@@ -112,3 +112,49 @@ def test_fix_evaluation_results(tmp_path):
     assert list(tmp_path.glob("eval.bak-*.json"))
     fixed = json.loads(path.read_text())
     assert fixed["records"][1]["evaluation"]["is_correct"] is True
+
+
+def test_rank_submissions_end_to_end(tmp_path):
+    from rag_challenge_2_tpu.eval import rank_submissions
+
+    answers = {
+        "q1": {"kind": "number", "answers": ["100"], "reference_pools": [["s:0"]]},
+        "q2": {"kind": "boolean", "answers": ["true"], "reference_pools": []},
+    }
+    (tmp_path / "answers.json").write_text(json.dumps(answers))
+    subs = tmp_path / "subs"
+    subs.mkdir()
+    (subs / "a.json").write_text(json.dumps({
+        "submission_name": "good", "team_email": "", "signature": "",
+        "answers": [
+            {"question_text": "q1", "kind": "number", "value": 100,
+             "references": [{"pdf_sha1": "s", "page_index": 0}]},
+            {"question_text": "q2", "kind": "boolean", "value": True, "references": []},
+        ],
+    }))
+    (subs / "b.json").write_text(json.dumps({
+        "submission_name": "bad", "team_email": "", "signature": "",
+        "answers": [
+            {"question_text": "q1", "kind": "number", "value": 50, "references": []},
+        ],
+    }))
+    csv_out = tmp_path / "ranking.csv"
+    scores = rank_submissions(subs, tmp_path / "answers.json", csv_out=csv_out)
+    assert scores[0].submission_name == "good"
+    assert scores[0].score == 2.0 + 2.0 / 2
+    assert scores[1].submission_name == "bad" and scores[1].missing == 1
+    assert csv_out.exists()
+
+
+def test_stage_timer():
+    import time as _t
+    from rag_challenge_2_tpu.utils.timing import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        _t.sleep(0.01)
+    with t.stage("a"):
+        _t.sleep(0.01)
+    t.record("b", 1.5)
+    d = t.as_dict()
+    assert d["a"] >= 0.02 and d["b"] == 1.5
