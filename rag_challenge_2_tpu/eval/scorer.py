@@ -11,7 +11,6 @@ question slice (:143).
 from __future__ import annotations
 
 import dataclasses
-import json
 from pathlib import Path
 from typing import Dict, List, Literal, Optional, Union
 

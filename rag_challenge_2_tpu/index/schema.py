@@ -25,11 +25,9 @@ loads them all into host RAM, pairing each with its chunked-report JSON
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 # Pad rows to a multiple of the f32 sublane tile (8) * lanes (128) so Pallas
 # tiles line up; 1024 also keeps block shapes friendly for large corpora.

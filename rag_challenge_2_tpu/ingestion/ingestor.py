@@ -11,7 +11,6 @@ from the same chunk texts.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Tuple
 

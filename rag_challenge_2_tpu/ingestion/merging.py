@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import re
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 _IGNORED_TYPES = {"page_footer", "picture"}
 _PLAIN_TYPES = {

@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional
 
-from . import prompts, schemas
+from . import prompts
 from .providers import ChatProvider, get_provider
 
 _ANSWER_PROMPTS = {

@@ -15,8 +15,7 @@ Parallelism: batch shards over ``data``; encoder weights shard over
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

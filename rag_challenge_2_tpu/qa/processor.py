@@ -26,7 +26,6 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..index.schema import CorpusIndex, CorpusMeta
 from ..llm import prompts
 from ..llm.facade import LLMFacade
 from ..llm.reranker import LLMReranker

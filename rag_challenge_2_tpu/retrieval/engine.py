@@ -32,7 +32,7 @@ import numpy as np
 from ..index.schema import CorpusIndex, CorpusMeta
 from ..ops.aggregate import FusedCandidates, fuse_hits
 from ..ops.topk import NEG_INF, dense_topk
-from .routing import extract_years_from_question, route_mask
+from .routing import route_mask
 from .traversal import emit_hits, traverse
 
 METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}

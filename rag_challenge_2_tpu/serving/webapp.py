@@ -21,8 +21,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
-from ..eval.judge import JudgeHarness, summarize
-from ..qa.processor import QAConfig, QuestionsProcessor
+from ..eval.judge import JudgeHarness
+from ..qa.processor import QuestionsProcessor
 
 _PAGE = """<!DOCTYPE html>
 <html lang="zh">

@@ -86,3 +86,37 @@ def test_ivf_respects_mask_and_padding(rng):
     vals, rows = ivf_search(idx, jnp.asarray(x[:2]), 8, nprobe=4, mask=jnp.asarray(mask))
     rows = np.asarray(rows)
     assert (rows[rows >= 0] < n // 2).all()
+
+
+def test_balanced_build_caps_lists():
+    # local rng: data must not depend on suite execution order
+    rng = np.random.default_rng(7)
+    # heavily skewed data: half the points near one center
+    d = 32
+    c0 = rng.normal(size=d).astype(np.float32); c0 /= np.linalg.norm(c0)
+    others = rng.normal(size=(7, d)).astype(np.float32)
+    others /= np.linalg.norm(others, axis=1, keepdims=True)
+    pts = [c0 + 0.02 * rng.normal(size=(400, d)).astype(np.float32)]
+    for c in others:
+        pts.append(c + 0.02 * rng.normal(size=(40, d)).astype(np.float32))
+    x = np.concatenate(pts).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    plain = build_ivf(jnp.asarray(x), n_clusters=8, iters=8)
+    capped = build_ivf(jnp.asarray(x), n_clusters=8, iters=8, max_list_size=80)
+    assert plain.max_list > 80, "skew sanity"
+    # soft cap: dense blobs may overshoot modestly, never by the original skew
+    assert capped.max_list <= int(80 * 1.6)
+    assert capped.max_list < plain.max_list * 0.6
+    assert capped.k_clusters > plain.k_clusters
+
+    # recall preserved with a modest probe bump
+    q = jnp.asarray(x[rng.choice(len(x), 10)])
+    from rag_challenge_2_tpu.ops.topk import dense_topk
+    _, oracle = dense_topk(q, jnp.asarray(x), 10, impl="xla")
+    _, got = ivf_search(capped, q, 10, nprobe=6)
+    rec = np.mean([
+        len(set(np.asarray(got[b])) & set(np.asarray(oracle[b]))) / 10
+        for b in range(10)
+    ])
+    assert rec > 0.9, rec
