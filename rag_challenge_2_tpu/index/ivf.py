@@ -32,6 +32,7 @@ class IVFIndex:
     centroids: jax.Array     # f32 [K, D]
     emb_perm: jax.Array      # f32 [N_pad, D] — rows grouped by cluster
     row_ids: jax.Array       # i32 [N_pad] — permuted position → corpus row (-1 pad)
+    pos_cluster: jax.Array   # i32 [N_pad] — cluster id per permuted position (K pad)
     list_offsets: jax.Array  # i32 [K + 1]
     k_clusters: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_list: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -80,19 +81,25 @@ def build_ivf(
                 break
             for c in oversized:
                 members = np.nonzero(assign == c)[0]
-            k_sub = int(np.ceil(len(members) / max_list_size))
-            sub_c, sub_a = kmeans(
-                jnp.asarray(x_np[members]), k_sub, iters=max(3, iters // 2),
-                seed=seed + c + 1,
-            )
-            sub_a = np.asarray(sub_a)
-            sub_c = np.asarray(sub_c)
-            # first sub-cluster reuses slot c; the rest append
-            cent_list[c] = sub_c[0]
-            for j in range(1, k_sub):
-                new_id = len(cent_list)
-                cent_list.append(sub_c[j])
-                assign[members[sub_a == j]] = new_id
+                k_sub = int(np.ceil(len(members) / max_list_size))
+                # pad the member count to a power of two so the sub-kmeans
+                # jit specializes O(log N) times, not per distinct size
+                pad_n = 1 << (len(members) - 1).bit_length()
+                padded = np.empty((pad_n, x_np.shape[1]), np.float32)
+                padded[: len(members)] = x_np[members]
+                padded[len(members):] = x_np[members[0]]
+                sub_c, sub_a = kmeans(
+                    jnp.asarray(padded), k_sub, iters=max(3, iters // 2),
+                    seed=seed + int(c) + 1,
+                )
+                sub_a = np.asarray(sub_a)[: len(members)]
+                sub_c = np.asarray(sub_c)
+                # first sub-cluster reuses slot c; the rest append
+                cent_list[c] = sub_c[0]
+                for j in range(1, k_sub):
+                    new_id = len(cent_list)
+                    cent_list.append(sub_c[j])
+                    assign[members[sub_a == j]] = new_id
         K = len(cent_list)
         centroids = jnp.asarray(np.stack(cent_list), jnp.float32)
 
@@ -105,13 +112,16 @@ def build_ivf(
     n_pad = N  # keep the padded length of the source matrix
     emb_perm = np.zeros((n_pad, D), np.float32)
     row_ids = np.full((n_pad,), -1, np.int32)
+    pos_cluster = np.full((n_pad,), K, np.int32)
     emb_perm[: len(rows)] = np.asarray(x)[order]
     row_ids[: len(rows)] = rows[order]
+    pos_cluster[: len(rows)] = sorted_assign
 
     return IVFIndex(
         centroids=centroids,
         emb_perm=jnp.asarray(emb_perm, emb.dtype),
         row_ids=jnp.asarray(row_ids),
+        pos_cluster=jnp.asarray(pos_cluster),
         list_offsets=jnp.asarray(offsets, jnp.int32),
         k_clusters=K,
         max_list=int(counts.max()) if len(counts) else 0,
@@ -128,8 +138,10 @@ def ivf_search(
     window: Optional[int] = None,
     mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k corpus rows per query.  ``mask`` (optional, [N] over corpus
-    rows) applies routing exactly as in the flat path.
+    """Top-k corpus rows per query.  ``mask`` (optional, [N] or [B, N] over
+    corpus rows) applies routing exactly as in the flat path — including
+    coarse probe selection: clusters containing no mask-eligible rows score
+    -inf, so a routed query can never probe only irrelevant clusters.
 
     window: static per-list gather width (defaults to the longest list).
     """
@@ -138,6 +150,19 @@ def ivf_search(
     qf = q.astype(jnp.float32)
 
     coarse = jnp.dot(qf, index.centroids.T, preferred_element_type=jnp.float32)
+    if mask is not None:
+        # per-cluster eligibility under the routing mask
+        safe_rows_all = jnp.maximum(index.row_ids, 0)
+        row_ok = (
+            mask[safe_rows_all] if mask.ndim == 1 else mask[:, safe_rows_all]
+        ) & (index.row_ids >= 0)                                # [N_pad] or [B, N_pad]
+        K1 = index.k_clusters + 1
+        if row_ok.ndim == 1:
+            elig = jnp.zeros((K1,), bool).at[index.pos_cluster].max(row_ok)
+            coarse = jnp.where(elig[None, : index.k_clusters], coarse, NEG_INF)
+        else:
+            elig = jnp.zeros((B, K1), bool).at[:, index.pos_cluster].max(row_ok)
+            coarse = jnp.where(elig[:, : index.k_clusters], coarse, NEG_INF)
     _, probes = jax.lax.top_k(coarse, min(nprobe, index.k_clusters))  # [B, P]
     P = probes.shape[1]
     k_eff = min(k, P * W)
@@ -162,7 +187,11 @@ def ivf_search(
         )
         ok = in_list & (cand_rows >= 0)
         if mask is not None:
-            ok = ok & mask[jnp.maximum(cand_rows, 0)]
+            safe = jnp.maximum(cand_rows, 0)
+            ok = ok & (
+                mask[safe] if mask.ndim == 1
+                else jnp.take_along_axis(mask, safe, axis=1)
+            )
         scores = jnp.where(ok, scores, NEG_INF)
         cv = jnp.concatenate([top_v, scores], axis=1)
         cr = jnp.concatenate([top_r, jnp.where(ok, cand_rows, -1)], axis=1)

@@ -20,11 +20,11 @@ def _strip_to_json(text: str) -> str:
     m = _FENCE.search(text)
     if m:
         text = m.group(1)
-    # first balanced {...} or [...]
-    for opener, closer in (("{", "}"), ("[", "]")):
-        start = text.find(opener)
-        if start < 0:
-            continue
+    # first balanced {...} or [...] — whichever bracket appears FIRST wins,
+    # so a top-level array of objects is not truncated to its first object
+    starts = [(text.find(o), o, c) for o, c in (("{", "}"), ("[", "]"))]
+    starts = sorted((s, o, c) for s, o, c in starts if s >= 0)
+    for start, opener, closer in starts:
         depth = 0
         in_str = False
         esc = False

@@ -42,9 +42,10 @@ def _safe_default(schema: Type[BaseModel]) -> Dict[str, Any]:
         ann = str(field.annotation)
         if "List" in ann or "list" in ann:
             out[name] = []
-        elif "str" in ann:
-            # any union admitting text (e.g. jingpan's float|int|bool|str)
-            # defaults to the reference's "no answer" sentinel
+        elif "str" in ann or "N/A" in ann:
+            # any union admitting text or the explicit no-answer literal
+            # (e.g. number's float|int|Literal['N/A']) defaults to "N/A" —
+            # a failed parse must never fabricate a confident 0
             out[name] = "N/A"
         elif "bool" in ann:
             out[name] = False

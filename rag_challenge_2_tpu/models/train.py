@@ -32,6 +32,7 @@ class TrainConfig:
     weight_decay: float = 0.01
     temperature: float = 0.05
     sequence_parallel: bool = False  # shard sequence axis over 'model' too
+    moe_aux_weight: float = 0.01     # Switch-style load-balance coefficient
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -39,18 +40,26 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 
 def contrastive_loss(
-    params, module: Encoder, q_tokens: jax.Array, d_tokens: jax.Array, temperature: float
+    params, module: Encoder, q_tokens: jax.Array, d_tokens: jax.Array,
+    temperature: float, moe_aux_weight: float = 0.01,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Symmetric InfoNCE with in-(global)-batch negatives."""
-    qe = module.apply(params, q_tokens)                # [B, dim] unit-norm
-    de = module.apply(params, d_tokens)
+    """Symmetric InfoNCE with in-(global)-batch negatives.
+
+    MoE blocks sow their load-balance aux term into the ``losses``
+    collection; it is collected here and added to the objective (without
+    the mutable apply, flax silently discards sown values and the router
+    would collapse unpenalized)."""
+    qe, qvars = module.apply(params, q_tokens, mutable=["losses"])
+    de, dvars = module.apply(params, d_tokens, mutable=["losses"])
     logits = qe @ de.T / temperature                   # [B, B] global negatives
     labels = jnp.arange(logits.shape[0])
     l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
     l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
-    loss = (l_qd + l_dq) / 2
+    aux_leaves = jax.tree_util.tree_leaves(qvars) + jax.tree_util.tree_leaves(dvars)
+    aux = sum((jnp.sum(a) for a in aux_leaves), jnp.float32(0.0))
+    loss = (l_qd + l_dq) / 2 + moe_aux_weight * aux
     acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
-    return loss, {"loss": loss, "accuracy": acc}
+    return loss, {"loss": loss, "accuracy": acc, "moe_aux": aux}
 
 
 def make_train_step(
@@ -73,7 +82,7 @@ def make_train_step(
         d_tokens = jax.lax.with_sharding_constraint(d_tokens, data_sharding)
         (loss, metrics), grads = jax.value_and_grad(
             contrastive_loss, has_aux=True
-        )(params, module, q_tokens, d_tokens, tc.temperature)
+        )(params, module, q_tokens, d_tokens, tc.temperature, tc.moe_aux_weight)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -58,6 +58,8 @@ class RunConfig:
     max_hops: int = 4
     neighbor_k: int = 30
     answer_schema: str = "jingpan"
+    use_ivf: bool = False           # cluster the corpus at load, probe-search
+    ivf_nprobe: int = 8
 
 
 class Pipeline:
@@ -174,11 +176,16 @@ class Pipeline:
             neighbor_k=rc.neighbor_k,
             full_context=rc.full_context,
             use_bm25=rc.use_bm25_db,
+            use_ivf=rc.use_ivf,
+            ivf_nprobe=rc.ivf_nprobe,
             parallel_requests=rc.parallel_requests,
             answering_model=rc.answering_model,
         )
+        engine = QueryEngine(idx, meta)
+        if rc.use_ivf:
+            engine.build_ivf()
         return QuestionsProcessor(
-            QueryEngine(idx, meta),
+            engine,
             self.embedder,
             LLMFacade(self.provider),
             LLMReranker(self.provider) if rc.llm_reranking else None,

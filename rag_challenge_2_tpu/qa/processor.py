@@ -57,6 +57,8 @@ class QAConfig:
     expand_context_size: int = 1
     full_context: bool = False
     use_bm25: bool = False          # hybrid dense+BM25 fusion in the engine
+    use_ivf: bool = False           # clustered index for the basic method
+    ivf_nprobe: int = 8
     parallel_requests: int = 1
     answering_model: Optional[str] = None
     new_challenge_pipeline: bool = True
@@ -183,8 +185,10 @@ class QuestionsProcessor:
             groups.append({
                 "group_id": gid,
                 "core_page": core,
-                "core_score": r.get("combined_score")
-                or r.get("vector_similarity", r.get("distance", 0.0)),
+                "core_score": (
+                    r["combined_score"] if r.get("combined_score") is not None
+                    else r.get("vector_similarity", r.get("distance", 0.0))
+                ),
                 "source_sha1": r.get("source_sha1", ""),
                 "pages": pages,
                 "core_index": pages.index(core) if core in pages else 0,
@@ -359,6 +363,8 @@ class QuestionsProcessor:
             return_parent_pages=cfg.return_parent_pages,
             top_n=top_n,
             use_bm25=cfg.use_bm25,
+            use_ivf=cfg.use_ivf,
+            ivf_nprobe=cfg.ivf_nprobe,
         )
         t0 = time.perf_counter()
         cands = self.engine.search(

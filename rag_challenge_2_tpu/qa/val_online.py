@@ -41,7 +41,13 @@ class ValOnline:
 
     def ask(self, question: str, use_history: bool = True) -> Dict:
         q = self._ensure_company(question)
-        company = self.processor._extract_companies(q)[0]
+        companies = self.processor._extract_companies(q)
+        if not companies:
+            raise ValueError(
+                f"default company {self.default_company!r} is not in the "
+                f"corpus company list {self.processor.engine.meta.companies}"
+            )
+        company = companies[0]
         answer = self.processor.get_answer_for_company(
             company,
             q,

@@ -106,16 +106,11 @@ def search_device(
         if cfg.use_ivf and ivf is not None:
             from ..index.ivf import ivf_search
 
-            # per-pair masks: scan pairs (IVF's mask arg is row-shared)
-            def one(_, i):
-                v, r = ivf_search(
-                    ivf, q_pair[i][None, :], k,
-                    nprobe=cfg.ivf_nprobe, mask=pair_mask[i],
-                )
-                return None, (v[0], r[0])
-
-            _, (vals, rows) = jax.lax.scan(
-                one, None, jnp.arange(q_pair.shape[0])
+            # one batched probe-search over all (query, doc) pairs —
+            # ivf_search takes [B, N] masks and applies them to coarse
+            # probe selection too (routed clusters only)
+            vals, rows = ivf_search(
+                ivf, q_pair, k, nprobe=cfg.ivf_nprobe, mask=pair_mask
             )
         else:
             vals, rows = dense_topk(q_pair, emb, k, mask=pair_mask, impl="xla")
@@ -241,7 +236,22 @@ class QueryEngine:
         self, doc_ids: Sequence[int], max_docs: int
     ) -> Tuple[jax.Array, jax.Array]:
         if len(doc_ids) > max_docs:
-            doc_ids = list(doc_ids)[:max_docs]
+            # keep the newest documents (by year, then doc id) — dropping
+            # the highest ids silently loses the latest annual reports
+            import warnings
+
+            doc_ids = sorted(
+                doc_ids,
+                key=lambda d: (self.meta.docs[d].year or -1, d),
+                reverse=True,
+            )[:max_docs]
+            doc_ids = sorted(doc_ids)
+            warnings.warn(
+                f"route matched more than max_docs={max_docs} documents; "
+                f"keeping the newest {max_docs} (raise SearchConfig.max_docs "
+                "to search all)",
+                stacklevel=2,
+            )
         key = (tuple(doc_ids), max_docs)
         cached = self._mask_cache.get(key)
         if cached is not None:

@@ -103,7 +103,10 @@ const TABS = [
 function chunksTable(cs) {
   if (!cs.length) return "(空)";
   let h = "<table><tr><th>页</th><th>得分</th><th>命中</th><th>方法数</th><th>文本</th></tr>";
-  for (const c of cs) h += `<tr><td>${c.page}</td><td>${(c.distance ?? c.vector_similarity ?? 0).toFixed ? (c.distance ?? c.vector_similarity).toFixed(3) : c.distance}</td><td>${c.hit_count ?? ""}</td><td>${c.method_count ?? ""}</td><td>${(c.text || "").slice(0, 160)}</td></tr>`;
+  for (const c of cs) {
+    const score = (c.distance ?? c.vector_similarity ?? 0);
+    h += `<tr><td>${escapeHtml(String(c.page))}</td><td>${score.toFixed ? score.toFixed(3) : escapeHtml(String(score))}</td><td>${c.hit_count ?? ""}</td><td>${c.method_count ?? ""}</td><td>${escapeHtml((c.text || "").slice(0, 160))}</td></tr>`;
+  }
   return h + "</table>";
 }
 function renderTabs() {

@@ -146,3 +146,25 @@ def test_use_ivf_without_build_raises(engine, rng):
     q = _q_for(embs, 0, 0, rng)
     with pytest.raises(ValueError, match="build_ivf"):
         eng.search(q, "金盘科技", cfg=SearchConfig(method="basic", use_ivf=True))
+
+
+def test_doc_truncation_keeps_newest(rng):
+    # 10 docs for one company with years 2015..2024, max_docs 4
+    from tests.conftest import make_reports
+    from rag_challenge_2_tpu.index import build_corpus_index
+
+    reports, embs = make_reports(
+        rng, n_docs=10, companies=("金盘科技",) * 10,
+        years=tuple(range(2015, 2025)), pages_per_doc=1, chunks_per_page=2,
+    )
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=12)
+    eng = QueryEngine(idx, meta)
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dm, dv = eng.doc_masks(eng.routed_docs("金盘科技"), max_docs=4)
+        assert any("newest" in str(x.message) for x in w)
+    doc_ids = np.asarray(idx.doc_id)
+    searched_docs = {int(d) for i in range(4) for d in np.unique(doc_ids[np.asarray(dm[i])])}
+    years = {meta.docs[d].year for d in searched_docs}
+    assert years == {2021, 2022, 2023, 2024}

@@ -114,9 +114,40 @@ def test_balanced_build_caps_lists():
     q = jnp.asarray(x[rng.choice(len(x), 10)])
     from rag_challenge_2_tpu.ops.topk import dense_topk
     _, oracle = dense_topk(q, jnp.asarray(x), 10, impl="xla")
-    _, got = ivf_search(capped, q, 10, nprobe=6)
+    # balancing grows K; probe proportionally (same corpus fraction scanned)
+    _, got = ivf_search(capped, q, 10, nprobe=max(8, capped.k_clusters // 2))
     rec = np.mean([
         len(set(np.asarray(got[b])) & set(np.asarray(oracle[b]))) / 10
         for b in range(10)
     ])
     assert rec > 0.9, rec
+
+
+def test_masked_probe_selection_finds_minority_cluster():
+    """Routing must steer the coarse probes: a query pointing away from the
+    routed company's region must still reach that company's clusters."""
+    rng = np.random.default_rng(3)
+    d = 64
+    a = rng.normal(size=d).astype(np.float32); a /= np.linalg.norm(a)
+    b = -a  # opposite region
+    xa = a + 0.02 * rng.normal(size=(900, d)).astype(np.float32)
+    xb = b + 0.02 * rng.normal(size=(100, d)).astype(np.float32)
+    x = np.concatenate([xa, xb]).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    idx = build_ivf(jnp.asarray(x), n_clusters=32, iters=8)
+    mask = np.zeros(1000, bool)
+    mask[900:] = True  # route to company B only
+    # query resembles region A — with mask-blind probing all probes land in A
+    q = jnp.asarray(x[:1])
+    vals, rows = ivf_search(idx, q, 5, nprobe=4, mask=jnp.asarray(mask))
+    rows = np.asarray(rows)
+    assert (rows[0] >= 900).all(), rows[0]
+    # batched [B, N] masks: two queries routed to different companies
+    masks = np.zeros((2, 1000), bool)
+    masks[0, 900:] = True
+    masks[1, :900] = True
+    q2 = jnp.asarray(x[:2])
+    _, rows2 = ivf_search(idx, q2, 5, nprobe=4, mask=jnp.asarray(masks))
+    rows2 = np.asarray(rows2)
+    assert (rows2[0] >= 900).all()
+    assert ((rows2[1] >= 0) & (rows2[1] < 900)).all()

@@ -182,3 +182,19 @@ def test_glossary_match_and_fallback():
     assert "净资产收益率" in terms and "毛利率" in terms
     fallback = find_financial_concepts("今天天气", top_n=2)
     assert len(fallback) == 2
+
+
+def test_safe_default_number_is_na_not_zero():
+    from rag_challenge_2_tpu.llm.providers import _safe_default
+
+    d = _safe_default(schemas.NumberAnswer)
+    assert d["final_answer"] == "N/A"  # never a confident 0
+    assert _safe_default(schemas.BooleanAnswer)["final_answer"] is False
+
+
+def test_jsonfix_top_level_array():
+    arr = loads_lenient('[{"a": 1}, {"a": 2}]')
+    assert arr == [{"a": 1}, {"a": 2}]
+    # prose before an array
+    arr2 = loads_lenient('Here you go:\n[{"relevance_score": 0.5, "reasoning": "r"}]')
+    assert isinstance(arr2, list) and arr2[0]["relevance_score"] == 0.5

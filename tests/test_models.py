@@ -178,3 +178,18 @@ def test_ict_pretraining_learns_and_roundtrips(tmp_path):
     a = model.embed(["营业收入增长"], batch_size=4)
     b = m2.embed(["营业收入增长"], batch_size=4)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_moe_aux_loss_reaches_objective():
+    from rag_challenge_2_tpu.models.train import TrainConfig, contrastive_loss
+    from rag_challenge_2_tpu.models.encoder import Encoder
+
+    cfg_moe = EncoderConfig(vocab_bits=8, d_model=16, n_layers=2, n_heads=2,
+                            d_ff=32, max_len=16, out_dim=8, moe_experts=4)
+    module = Encoder(cfg_moe)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    q = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(4, 8)).astype(np.int32))
+    loss0, m0 = contrastive_loss(params, module, q, q, 0.05, moe_aux_weight=0.0)
+    loss1, m1 = contrastive_loss(params, module, q, q, 0.05, moe_aux_weight=1.0)
+    assert float(m1["moe_aux"]) > 0, "aux term must be collected"
+    assert float(loss1) > float(loss0), "aux term must enter the objective"

@@ -90,3 +90,14 @@ def test_configs_registry_covers_reference_presets():
         assert key in configs
     assert configs["max_nst_o3m"].llm_reranking
     assert configs["gemini_thinking"].full_context
+
+
+def test_pipeline_with_ivf(data_root, rng):
+    p = _offline_pipeline(data_root, rng)
+    p.run_config.use_ivf = True
+    p.parse_pdf_reports()
+    p.process_parsed_reports()
+    proc = p.build_processor()
+    assert proc.engine.ivf is not None
+    out = proc.get_answer_for_company("金盘科技", "2024年营业收入", "number")
+    assert out["final_answer"] == 68.9
