@@ -40,6 +40,35 @@ class RateLimiter:
             self._last = now
 
 
+class JinaReranker:
+    """HTTP reranker client (reference src/reranking.py:33-55 — present in
+    the reference but unused by its pipeline; kept for inventory parity).
+    POSTs {model, query, documents, top_n} to a Jina-compatible /rerank
+    endpoint and returns [{index, relevance_score}] ordered results."""
+
+    def __init__(self, api_key: Optional[str] = None,
+                 model: str = "jina-reranker-v2-base-multilingual",
+                 base_url: str = "https://api.jina.ai/v1/rerank",
+                 timeout: float = 60.0):
+        self.api_key = api_key or os.environ.get("JINA_API_KEY", "")
+        self.model = model
+        self.base_url = base_url
+        self.timeout = timeout
+
+    def rerank(self, query: str, documents: List[str], top_n: Optional[int] = None):
+        import requests
+
+        r = requests.post(
+            self.base_url,
+            json={"model": self.model, "query": query,
+                  "documents": documents, "top_n": top_n or len(documents)},
+            headers={"Authorization": f"Bearer {self.api_key}"},
+            timeout=self.timeout,
+        )
+        r.raise_for_status()
+        return r.json().get("results", [])
+
+
 class LLMReranker:
     def __init__(
         self,

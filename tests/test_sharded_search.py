@@ -48,3 +48,38 @@ def test_sharded_uneven_rows(rng):
     assert (np.asarray(si) < N).all() and (np.asarray(si) >= 0).all()
     xv, xi = dense_topk(q, emb, k, impl="xla")
     np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), rtol=1e-5, atol=1e-5)
+
+
+@needs_devices
+def test_engine_search_with_row_sharded_index(tiny_corpus, rng):
+    """The full jitted query pipeline (search_device) runs with the corpus
+    embedding matrix row-sharded over a mesh — GSPMD propagates the
+    sharding through scoring/fusion (BASELINE config 5's single-graph
+    hybrid query, validated on the virtual mesh)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+
+    idx, meta, reports, embs = tiny_corpus
+    eng_plain = QueryEngine(idx, meta)
+    q = embs[0][5][None, :].astype(np.float32)
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10, use_bm25=True)
+    base = eng_plain.materialize(
+        eng_plain.search(q, "金盘科技", cfg=cfg, query_texts=["营业收入"]), cfg
+    )
+
+    mesh = make_mesh({"data": 8})
+    import dataclasses
+    sharded_idx = dataclasses.replace(
+        idx,
+        emb=jax.device_put(idx.emb, NamedSharding(mesh, P("data", None))),
+        valid=jax.device_put(idx.valid, NamedSharding(mesh, P("data"))),
+    )
+    eng_sharded = QueryEngine(sharded_idx, meta)
+    got = eng_sharded.materialize(
+        eng_sharded.search(q, "金盘科技", cfg=cfg, query_texts=["营业收入"]), cfg
+    )
+    assert [r["rep_row"] for r in got] == [r["rep_row"] for r in base]
+    for a, b in zip(got, base):
+        assert abs(a["distance"] - b["distance"]) < 1e-4
