@@ -98,6 +98,10 @@ class Pipeline:
                 from ..models.pretrain import load_params
 
                 model = load_params(model, params_path)
+                print(f"[encoder] loaded corpus-pretrained params: {params_path}")
+            else:
+                print("[encoder] using randomly initialized weights "
+                      "(run `main.py train-encoder` to pretrain on this corpus)")
             self._embedder = model.embed
         return self._embedder
 
