@@ -1,3 +1,4 @@
-from .schema import CorpusIndex, CorpusMeta, SparseIndex
-from .build import build_corpus_index, load_chunked_reports
-from .store import save_index, load_index
+from .build import build_corpus_index, infer_doc_year, load_chunked_reports
+from .ivf import IVFIndex, build_ivf, ivf_search
+from .schema import CorpusIndex, CorpusMeta, DocMeta, SparseIndex
+from .store import load_index, save_index

@@ -9,4 +9,4 @@ from .providers import (
     StubProvider,
     get_provider,
 )
-from .reranker import LLMReranker, RateLimiter
+from .reranker import JinaReranker, LLMReranker, RateLimiter

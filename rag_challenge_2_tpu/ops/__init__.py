@@ -1,3 +1,4 @@
+from .aggregate import FusedCandidates, fuse_hits
+from .bm25 import bm25_scores, encode_queries
+from .kmeans import assign_clusters, kmeans
 from .topk import dense_topk
-from .bm25 import bm25_scores
-from .aggregate import fuse_hits, FusedCandidates

@@ -1,1 +1,2 @@
 from .processor import QAConfig, QuestionsProcessor
+from .val_online import ValOnline
