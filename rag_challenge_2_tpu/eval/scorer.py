@@ -64,7 +64,15 @@ def compare(schema: str, actual: str, predicted: Value) -> float:
             p = float(predicted)
         except (TypeError, ValueError):
             return 0.0
-        return 1.0 if abs(p - a) < 0.01 * abs(a) else 0.0
+        # Deliberate deviation from reference rank.py:93, which compares
+        # against an unsigned `0.01 * actual`: for negative gold values
+        # (losses, negative growth) the reference tolerance is negative and
+        # the answer always scores 0.  We use abs(actual) so negatives get
+        # the same 1% relative band, and an absolute epsilon so an exact
+        # match on actual == 0 scores 1.0.  Rankings on corpora containing
+        # negative gold numbers can therefore differ from the official
+        # contest scorer (which shares the reference's defect).
+        return 1.0 if abs(p - a) < max(0.01 * abs(a), 1e-9) else 0.0
 
     if schema == "boolean":
         return 1.0 if str(actual).lower() == str(predicted).lower() else 0.0

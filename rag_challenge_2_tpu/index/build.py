@@ -62,93 +62,121 @@ def load_chunked_reports(reports_dir: Path) -> List[Dict]:
     return reports
 
 
+# Default posting-list cap.  The device kernel gathers a static
+# [B, T, window] block per query batch with window = longest posting list;
+# CJK unigrams ("的", "年") have df approaching the corpus size, so an
+# uncapped index at 1M chunks makes that gather ~64×1M rows per batch —
+# OOM/stall.  Terms that long carry near-zero idf anyway: capping keeps
+# the top-tf postings per term, leaves df (hence idf) exact, and bounds
+# kernel memory to B·T·4096.  Measured recall impact
+# (tests/test_bm25.py::test_capped_recall_vs_uncapped): even with a cap at
+# 16% of the corpus, self-retrieval stays at rank ≤3 and top-10 churn is
+# confined to near-zero-idf ties; at 4096 (≫ df of any discriminative
+# term) the effect is nil.
+DEFAULT_MAX_POSTINGS_PER_TERM = 4096
+
+
+def _cap_postings(
+    indptr: np.ndarray, chunk_ids: np.ndarray, tf: np.ndarray, cap: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Truncate every posting list to its ``cap`` highest-tf entries.
+
+    df is computed by the caller BEFORE capping, so idf stays exact — the
+    cap only bounds the device gather window.
+    """
+    counts = np.diff(indptr)
+    oversized = np.nonzero(counts > cap)[0]
+    if len(oversized) == 0:
+        return indptr, chunk_ids, tf
+    keep = np.ones(int(indptr[-1]), bool)
+    for t in oversized:
+        s, e = int(indptr[t]), int(indptr[t + 1])
+        seg = tf[s:e]
+        drop = np.argpartition(seg, len(seg) - cap)[: len(seg) - cap]
+        keep[s + drop] = False
+    new_counts = np.minimum(counts, cap)
+    new_indptr = np.zeros_like(indptr)
+    np.cumsum(new_counts, out=new_indptr[1:])
+    return new_indptr, chunk_ids[keep], tf[keep]
+
+
 def _build_sparse(
     chunk_texts: Sequence[str],
     n_pad: int,
     vocab_bits: int,
-    max_postings_per_term: Optional[int] = None,
+    max_postings_per_term: Optional[int] = DEFAULT_MAX_POSTINGS_PER_TERM,
 ) -> SparseIndex:
     """Term-major CSR over the whole corpus.
 
     Replaces the per-document pickled BM25Okapi objects
-    (reference src/ingestion.py:19-22).  Terms with huge posting lists can be
-    capped (``max_postings_per_term``) — they carry near-zero idf anyway —
-    which bounds the per-term gather window of the device kernel.
+    (reference src/ingestion.py:19-22).  Posting lists are capped by default
+    (``max_postings_per_term``, pass ``None`` for uncapped) — see
+    :data:`DEFAULT_MAX_POSTINGS_PER_TERM`.
     """
     V = 1 << vocab_bits
     n = len(chunk_texts)
 
-    if max_postings_per_term is None:
-        # native C++ builder (native/csr_builder.cpp) — same tokenizer and
-        # hash, ~2 orders faster at million-chunk scale; silently falls back
-        # to the Python path when the toolchain is missing
-        from ..utils.native import build_csr_native
+    # native C++ builder (native/csr_builder.cpp) — same tokenizer and
+    # hash, ~2 orders faster at million-chunk scale; silently falls back
+    # to the Python path when the toolchain is missing
+    from ..utils.native import build_csr_native
 
-        nat = build_csr_native(list(chunk_texts), vocab_bits)
-        if nat is not None:
-            indptr, chunk_ids_n, tf_n, df_n, chunk_len_n = nat
-            nnz = int(indptr[-1])
-            nnz_pad = max(_round_up(max(nnz, 1), 128), 128)
-            chunk_ids = np.full((nnz_pad,), n_pad - 1, np.int32)
-            tf = np.zeros((nnz_pad,), np.float32)
-            chunk_ids[:nnz] = chunk_ids_n
-            tf[:nnz] = tf_n
-            chunk_len = np.zeros((n_pad,), np.float32)
-            chunk_len[:n] = chunk_len_n
-            counts = np.diff(indptr)
-            avgdl = float(chunk_len[:n].mean()) if n else 1.0
-            return SparseIndex(
-                indptr=jnp.asarray(indptr, jnp.int32),
-                chunk_ids=jnp.asarray(chunk_ids),
-                tf=jnp.asarray(tf),
-                df=jnp.asarray(df_n),
-                chunk_len=jnp.asarray(chunk_len),
-                avgdl=jnp.float32(avgdl),
-                vocab_bits=vocab_bits,
-                max_postings=int(counts.max()) if len(counts) else 0,
-            )
+    nat = build_csr_native(list(chunk_texts), vocab_bits)
+    if nat is not None:
+        indptr, chunk_ids_n, tf_n, df_n, chunk_len_n = nat
+        df = np.asarray(df_n, np.float32)
+        chunk_len = np.zeros((n_pad,), np.float32)
+        chunk_len[:n] = chunk_len_n
+        indptr = np.asarray(indptr, np.int64)
+        chunk_ids_u = np.asarray(chunk_ids_n, np.int32)
+        tf_u = np.asarray(tf_n, np.float32)
+    else:
+        # term -> list of (chunk, tf)
+        tf_maps: List[Dict[int, int]] = []
+        chunk_len = np.zeros((n_pad,), np.float32)
+        df = np.zeros((V,), np.float32)
+        for i, text in enumerate(chunk_texts):
+            ids = tok.token_ids(text, vocab_bits)
+            chunk_len[i] = len(ids)
+            m: Dict[int, int] = {}
+            for t in ids:
+                m[t] = m.get(t, 0) + 1
+            tf_maps.append(m)
+            for t in m:
+                df[t] += 1.0
 
-    # term -> list of (chunk, tf)
-    tf_maps: List[Dict[int, int]] = []
-    chunk_len = np.zeros((n_pad,), np.float32)
-    df = np.zeros((V,), np.float32)
-    for i, text in enumerate(chunk_texts):
-        ids = tok.token_ids(text, vocab_bits)
-        chunk_len[i] = len(ids)
-        m: Dict[int, int] = {}
-        for t in ids:
-            m[t] = m.get(t, 0) + 1
-        tf_maps.append(m)
-        for t in m:
-            df[t] += 1.0
+        postings: Dict[int, List[Tuple[int, int]]] = {}
+        for i, m in enumerate(tf_maps):
+            for t, c in m.items():
+                postings.setdefault(t, []).append((i, c))
 
-    postings: Dict[int, List[Tuple[int, int]]] = {}
-    for i, m in enumerate(tf_maps):
-        for t, c in m.items():
-            postings.setdefault(t, []).append((i, c))
+        indptr = np.zeros((V + 1,), np.int64)
+        for t, lst in postings.items():
+            indptr[t + 1] = len(lst)
+        np.cumsum(indptr, out=indptr)
+        nnz0 = int(indptr[-1])
+        chunk_ids_u = np.zeros((nnz0,), np.int32)
+        tf_u = np.zeros((nnz0,), np.float32)
+        for t, lst in postings.items():
+            s = indptr[t]
+            for j, (ci, c) in enumerate(lst):
+                chunk_ids_u[s + j] = ci
+                tf_u[s + j] = c
 
     if max_postings_per_term:
-        for t, lst in postings.items():
-            if len(lst) > max_postings_per_term:
-                lst.sort(key=lambda e: -e[1])
-                postings[t] = lst[:max_postings_per_term]
+        indptr, chunk_ids_u, tf_u = _cap_postings(
+            indptr, chunk_ids_u, tf_u, max_postings_per_term
+        )
 
-    indptr = np.zeros((V + 1,), np.int64)
-    for t, lst in postings.items():
-        indptr[t + 1] = len(lst)
-    np.cumsum(indptr, out=indptr)
     nnz = int(indptr[-1])
     nnz_pad = max(_round_up(max(nnz, 1), 128), 128)
     chunk_ids = np.full((nnz_pad,), n_pad - 1, np.int32)  # pad → last (invalid) row
     tf = np.zeros((nnz_pad,), np.float32)
-    for t, lst in postings.items():
-        s = indptr[t]
-        for j, (ci, c) in enumerate(lst):
-            chunk_ids[s + j] = ci
-            tf[s + j] = c
+    chunk_ids[:nnz] = chunk_ids_u
+    tf[:nnz] = tf_u
 
+    counts = np.diff(indptr)
     avgdl = float(chunk_len[:n].mean()) if n else 1.0
-    max_post = max((len(v) for v in postings.values()), default=0)
     return SparseIndex(
         indptr=jnp.asarray(indptr, jnp.int32),
         chunk_ids=jnp.asarray(chunk_ids),
@@ -157,7 +185,7 @@ def _build_sparse(
         chunk_len=jnp.asarray(chunk_len),
         avgdl=jnp.float32(avgdl),
         vocab_bits=vocab_bits,
-        max_postings=max_post,
+        max_postings=int(counts.max()) if len(counts) else 0,
     )
 
 
@@ -168,7 +196,7 @@ def build_corpus_index(
     dtype=jnp.float32,
     with_sparse: bool = True,
     vocab_bits: int = tok.DEFAULT_VOCAB_BITS,
-    max_postings_per_term: Optional[int] = None,
+    max_postings_per_term: Optional[int] = DEFAULT_MAX_POSTINGS_PER_TERM,
     device_put: bool = True,
 ) -> Tuple[CorpusIndex, CorpusMeta]:
     """Assemble one CorpusIndex + CorpusMeta from per-document inputs.

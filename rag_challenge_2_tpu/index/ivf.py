@@ -65,13 +65,18 @@ def build_ivf(
         valid_np = np.asarray(valid)
     rows = np.nonzero(valid_np)[0]
     K = n_clusters or max(1, int(np.sqrt(len(rows)) * 4))
-    x = jnp.asarray(np.asarray(emb)[rows], jnp.float32)
+    # The big matrix never round-trips through the host: ``emb`` stays
+    # device-resident (through a ~10-20 MB/s relay a 1M×1024 f32 download +
+    # re-upload is ~13 min of pure transfer).  Only small arrays (assign,
+    # counts, centroids, index vectors) cross the host boundary.
+    x = jnp.asarray(emb, jnp.float32)
+    if len(rows) != N:
+        x = x[jnp.asarray(rows)]
     centroids, assign = kmeans(x, K, iters=iters, seed=seed)
     assign = np.asarray(assign)
 
     if max_list_size:
         assign = assign.copy()  # np.asarray of a jax array is read-only
-        x_np = np.asarray(x)
         cent_list = list(np.asarray(centroids))
         # a sub-split can itself come out uneven; a few rounds converge
         for _ in range(3):
@@ -83,13 +88,14 @@ def build_ivf(
                 members = np.nonzero(assign == c)[0]
                 k_sub = int(np.ceil(len(members) / max_list_size))
                 # pad the member count to a power of two so the sub-kmeans
-                # jit specializes O(log N) times, not per distinct size
+                # jit specializes O(log N) times, not per distinct size;
+                # pad rows CYCLE through the members so no single point is
+                # double-weighted during sub-clustering
                 pad_n = 1 << (len(members) - 1).bit_length()
-                padded = np.empty((pad_n, x_np.shape[1]), np.float32)
-                padded[: len(members)] = x_np[members]
-                padded[len(members):] = x_np[members[0]]
+                pad_idx = members[np.arange(pad_n) % len(members)]
+                padded = x[jnp.asarray(pad_idx)]  # device gather
                 sub_c, sub_a = kmeans(
-                    jnp.asarray(padded), k_sub, iters=max(3, iters // 2),
+                    padded, k_sub, iters=max(3, iters // 2),
                     seed=seed + int(c) + 1,
                 )
                 sub_a = np.asarray(sub_a)[: len(members)]
@@ -110,16 +116,19 @@ def build_ivf(
     np.cumsum(counts, out=offsets[1:])
 
     n_pad = N  # keep the padded length of the source matrix
-    emb_perm = np.zeros((n_pad, D), np.float32)
+    # permute on device; pad rows stay zero
+    emb_perm_dev = jnp.zeros((n_pad, D), emb.dtype)
+    emb_perm_dev = emb_perm_dev.at[: len(rows)].set(
+        x[jnp.asarray(order)].astype(emb.dtype)
+    )
     row_ids = np.full((n_pad,), -1, np.int32)
     pos_cluster = np.full((n_pad,), K, np.int32)
-    emb_perm[: len(rows)] = np.asarray(x)[order]
     row_ids[: len(rows)] = rows[order]
     pos_cluster[: len(rows)] = sorted_assign
 
     return IVFIndex(
         centroids=centroids,
-        emb_perm=jnp.asarray(emb_perm, emb.dtype),
+        emb_perm=emb_perm_dev,
         row_ids=jnp.asarray(row_ids),
         pos_cluster=jnp.asarray(pos_cluster),
         list_offsets=jnp.asarray(offsets, jnp.int32),

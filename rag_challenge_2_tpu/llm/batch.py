@@ -87,12 +87,19 @@ async def process_api_requests(
                     return
             await asyncio.sleep(0.05)
 
+    # Tasks not yet finalized (success or permanent failure).  Workers must
+    # not exit on an empty queue while retries may still be re-queued —
+    # otherwise one surviving worker drains every retry sequentially.
+    unfinished = len(requests)
+
     async def worker(session):
-        while True:
+        nonlocal unfinished
+        while unfinished > 0:
             try:
                 i, payload, attempts = queue.get_nowait()
             except asyncio.QueueEmpty:
-                return
+                await asyncio.sleep(0.05)
+                continue
             await acquire(_estimate_tokens(payload))
             status.num_tasks_started += 1
             status.num_tasks_in_progress += 1
@@ -112,18 +119,20 @@ async def process_api_requests(
                         raise RuntimeError(str(body.get("error", resp.status)))
                 record = {"request": payload, "response": body}
                 results[i] = record
+                unfinished -= 1
                 status.num_tasks_succeeded += 1
                 if out_f:
                     out_f.write(json.dumps(record, ensure_ascii=False) + "\n")
                     out_f.flush()
             except Exception as e:
                 if attempts > 1:
-                    await asyncio.sleep(1.0)
                     queue.put_nowait((i, payload, attempts - 1))
+                    await asyncio.sleep(1.0)  # back off; peers keep draining
                 else:
                     status.num_tasks_failed += 1
                     record = {"request": payload, "error": str(e)}
                     results[i] = record
+                    unfinished -= 1
                     if out_f:
                         out_f.write(json.dumps(record, ensure_ascii=False) + "\n")
                         out_f.flush()

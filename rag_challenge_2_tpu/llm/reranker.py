@@ -166,9 +166,15 @@ class LLMReranker:
         query: str,
         documents: List[Dict],
         documents_batch_size: int = 4,
-        llm_weight: float = 0.7,
         progress_callback: Optional[Callable] = None,
     ) -> List[Dict]:
+        """Combined score is the plain product relevance × vector_similarity.
+
+        The reference declares an ``llm_weight=0.7`` knob but never applies
+        it (reference src/reranking.py:286,300 compute ``vector_weight`` and
+        drop it; both scoring paths multiply directly :320-323,:363-366).
+        We keep the *behavior* (product) and drop the dead parameter.
+        """
         self.reset_stats()
 
         def tagged(doc: Dict) -> str:

@@ -113,8 +113,8 @@ def _call(q, emb, mask, k, tile_n, exact=True, interpret=False):
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec(memory_space=pltpu.ANY),    # emb stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),    # mask stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # emb stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # mask stays in HBM
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -354,12 +354,27 @@ class QuestionsProcessor:
         top_n = (
             cfg.llm_reranking_sample_size if cfg.llm_reranking else cfg.top_n_retrieval
         )
+        # Size the static query batch from the actual expansion fan-out,
+        # bucketed to a few shapes so the jitted graph specializes O(1)
+        # times instead of per question (HyDE + 3 multi-query methods can
+        # exceed 8; the reference fans out every expanded query,
+        # reference src/retrieval.py:1475-1504).
+        n_q = max(1, len(exp.queries))
+        max_q = next((b for b in (8, 16, 32) if n_q <= b), 32)
+        if n_q > max_q:
+            import warnings
+
+            warnings.warn(
+                f"query expansion produced {n_q} queries; only the first "
+                f"{max_q} are searched",
+                stacklevel=2,
+            )
         scfg = SearchConfig(
             method=cfg.retrieval_method,
             top_k=min(top_n, 64),
             max_hops=cfg.max_hops,
             neighbor_k=cfg.neighbor_k,
-            max_queries=8,
+            max_queries=max_q,
             return_parent_pages=cfg.return_parent_pages,
             top_n=top_n,
             use_bm25=cfg.use_bm25,

@@ -167,11 +167,21 @@ def search_device(
         from ..ops.bm25 import bm25_scores
 
         sparse_scores = bm25_scores(index.sparse, q_terms, N)   # [Q, N]
-        sp = sparse_scores[jnp.repeat(jnp.arange(Q), M)]        # [Q*M, N]
-        sp = jnp.where(pair_mask, sp, NEG_INF)
         k_bm = min(cfg.bm25_top_k, N)
-        bv, brows = jax.lax.top_k(sp, k_bm)
-        ok_b = bv > 0.0  # zero-score rows carry no term match
+
+        # scan over doc slots: peak footprint stays ~2×[Q, N] instead of the
+        # (M+1)×[Q, N] a materialized [Q*M, N] score grid would cost — the
+        # exact place it hurts at million-row N
+        def bm_step(_, m):
+            sp_m = jnp.where(doc_masks[m][None, :], sparse_scores, NEG_INF)
+            return None, jax.lax.top_k(sp_m, k_bm)
+
+        _, (bv_mqk, brows_mqk) = jax.lax.scan(bm_step, None, jnp.arange(M))
+        # [M, Q, k] → [Q*M, k] with row index q*M + m (matches qid_pair)
+        bv = bv_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm)
+        brows = brows_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm).astype(jnp.int32)
+        ok_b = bv > 0.0  # zero-score rows carry no term match; invalid doc
+        #                  slots have all-False masks → NEG_INF → excluded
         norm = jnp.maximum(jnp.max(bv, axis=1, keepdims=True), 1e-9)
         sims_b = jnp.where(ok_b, bv / norm, 0.0)
         qids_b = jnp.broadcast_to(qid_pair[:, None], brows.shape)
@@ -210,12 +220,13 @@ class QueryEngine:
         self._mask_cache: Dict[tuple, tuple] = {}
 
     def build_ivf(self, **kwargs):
-        """Cluster the corpus for SearchConfig(use_ivf=True) queries."""
+        """Cluster the corpus for SearchConfig(use_ivf=True) queries.
+
+        The resident device matrix is consumed directly — no host
+        round-trip of the corpus (build_ivf keeps it on device)."""
         from ..index.ivf import build_ivf
 
-        self.ivf = build_ivf(
-            np.asarray(self.index.emb), valid=self.index.valid, **kwargs
-        )
+        self.ivf = build_ivf(self.index.emb, valid=self.index.valid, **kwargs)
         return self.ivf
 
     # -- routing ---------------------------------------------------------
