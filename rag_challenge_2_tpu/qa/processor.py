@@ -382,10 +382,16 @@ class QuestionsProcessor:
             ivf_nprobe=cfg.ivf_nprobe,
         )
         t0 = time.perf_counter()
+        wants_details = cfg.retrieval_method in (
+            "ssg", "triangulation", "hybrid_expansion"
+        )
         cands = self.engine.search(
             q_embs, company, question, selected_years=selected_years, cfg=scfg,
-            query_texts=exp.queries,
+            query_texts=exp.queries, with_details=wants_details,
         )
+        if wants_details:
+            cands, dev_details = cands
+            payload.update(self.engine.materialize_details(dev_details, scfg))
         results = self.engine.materialize(cands, scfg)
         timing["vector_search"] = time.perf_counter() - t0
         for r in results:

@@ -88,11 +88,19 @@ def search_device(
     cfg: SearchConfig,
     q_terms: Optional[jax.Array] = None,  # [Q, T] hashed term ids (use_bm25)
     ivf=None,                             # IVFIndex when cfg.use_ivf
-) -> FusedCandidates:
-    """Full fan-out + aggregation for one question, on device."""
+) -> Tuple[FusedCandidates, Dict]:
+    """Full fan-out + aggregation for one question, on device.
+
+    Returns ``(fused_candidates, details)`` where ``details`` is a pytree of
+    device arrays for observability parity with the reference
+    (traversal paths/candidates, basic-vs-expansion rows — reference
+    src/retrieval.py:585-688 traversal_details, :1455-1470
+    algorithm_specific_results).  Empty for ``method="basic"``.
+    """
     Q, D = q.shape
     M, N = doc_masks.shape
     emb = index.emb
+    details: Dict = {}
 
     # (query, doc) anchor grid: A = Q*M
     pair_mask = doc_masks[None, :, :] & q_valid[:, None, None] & doc_valid[None, :, None]
@@ -136,6 +144,8 @@ def search_device(
         qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
         mids = jnp.full(rows.shape, METHOD_IDS[cfg.method], jnp.int32)
         blocks.append((rows, sims, qids, mids, res.valid))
+        details["trav"] = res
+        details["trav_qids"] = qid_pair
 
     elif cfg.method == "hybrid_expansion":
         k = HYBRID_BASIC_K
@@ -156,10 +166,17 @@ def search_device(
             qq = jnp.repeat(qid_pair, n_anchors)
             qids_e = jnp.broadcast_to(qq[:, None], r.shape)
             mids_e = jnp.full(r.shape, METHOD_IDS[mode], jnp.int32)
-            return r, s, qids_e, mids_e, res.valid
+            return (r, s, qids_e, mids_e, res.valid), res
 
-        blocks.append(expansion("ssg", HYBRID_SSG_ANCHORS))
-        blocks.append(expansion("triangulation", HYBRID_TRI_ANCHORS))
+        ssg_block, ssg_res = expansion("ssg", HYBRID_SSG_ANCHORS)
+        tri_block, tri_res = expansion("triangulation", HYBRID_TRI_ANCHORS)
+        blocks.append(ssg_block)
+        blocks.append(tri_block)
+        details["basic_rows"] = rows
+        details["basic_ok"] = ok
+        details["basic_sims"] = sims
+        details["ssg"] = ssg_res
+        details["tri"] = tri_res
     else:
         raise ValueError(f"unknown method {cfg.method!r}")
 
@@ -201,7 +218,8 @@ def search_device(
         index.page_seg[safe_rows],
         safe_rows,
     )
-    return fuse_hits(key_f, sims_f, qids_f, mids_f, rows_f, valid_f, top_n=cfg.top_n)
+    fused = fuse_hits(key_f, sims_f, qids_f, mids_f, rows_f, valid_f, top_n=cfg.top_n)
+    return fused, details
 
 
 class QueryEngine:
@@ -286,7 +304,12 @@ class QueryEngine:
         selected_years: Optional[Sequence[int]] = None,
         cfg: SearchConfig = SearchConfig(),
         query_texts: Optional[Sequence[str]] = None,
+        with_details: bool = False,
     ) -> FusedCandidates:
+        """Run the fan-out.  ``with_details=True`` additionally returns the
+        device observability pytree — feed it to :meth:`materialize_details`
+        for the reference's ``retrieval_details`` / ``algorithm_contribution``
+        payloads."""
         doc_ids = self.routed_docs(company, question, selected_years)
         if not doc_ids:
             raise ValueError(f"No report found with '{company}' company name.")
@@ -305,10 +328,11 @@ class QueryEngine:
             q_terms = encode_queries(texts, vocab_bits=self.index.sparse.vocab_bits)
         if cfg.use_ivf and self.ivf is None:
             raise ValueError("SearchConfig.use_ivf requires QueryEngine.build_ivf() first")
-        return search_device(
+        cands, details = search_device(
             self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg, q_terms,
             self.ivf if cfg.use_ivf else None,
         )
+        return (cands, details) if with_details else cands
 
     # -- materialisation -------------------------------------------------
     def materialize(
@@ -350,4 +374,117 @@ class QueryEngine:
                 "method_count": int(nm[i]),
                 "rep_row": int(rep[i]),
             })
+        return out
+
+    def materialize_details(
+        self, details: Dict, cfg: SearchConfig, max_anchor_records: int = 200
+    ) -> Dict:
+        """Device observability pytree → the reference's payload shapes.
+
+        Produces ``retrieval_details`` (per-anchor traversal records with
+        per-hop candidates, reference src/retrieval.py:585-688 and
+        :1770-1780) and, for hybrid expansion, ``algorithm_contribution``
+        (per-method new-chunk stats, reference :1781-1810).  ``new_only``
+        counts unique chunks (the reference sums per-(query, doc) lists,
+        which can double-count across pairs).
+        """
+        out: Dict = {"retrieval_details": None, "algorithm_contribution": None}
+        if not details:
+            return out
+        details = jax.device_get(details)
+
+        def chunk_info(row: int) -> Dict:
+            d = int(self._doc_ids_np[row])
+            return {
+                "chunk_id": int(row),
+                "page": int(np.asarray(self.index.page)[row]),
+                "source_sha1": self.meta.docs[d].sha1,
+            }
+
+        def traversal_info(res) -> List[Dict]:
+            path = np.asarray(res.path)
+            hop_score = np.asarray(res.hop_score)
+            cand_ids = np.asarray(res.cand_ids)
+            cand_scores = np.asarray(res.cand_scores)
+            infos = []
+            for a in range(path.shape[0]):
+                if path[a, 0] < 0:
+                    continue
+                if len(infos) >= max_anchor_records:
+                    break
+                p = [int(x) for x in path[a] if x >= 0]
+                hops = []
+                for h in range(path.shape[1] - 1):
+                    sel = int(path[a, h + 1])
+                    if sel < 0:
+                        break
+                    cands = [
+                        {
+                            "idx": int(cand_ids[a, h, j]),
+                            "score": float(cand_scores[a, h, j]),
+                            "selected": int(cand_ids[a, h, j]) == sel,
+                        }
+                        for j in range(cand_ids.shape[2])
+                        if cand_ids[a, h, j] >= 0
+                    ]
+                    hops.append({
+                        "hop_number": h + 1,
+                        "current_chunk": int(path[a, h]),
+                        "candidates": cands,
+                        "selected_idx": sel,
+                        "selected_score": float(hop_score[a, h + 1]),
+                    })
+                infos.append({
+                    "anchor": {"idx": int(path[a, 0]), "score": float(hop_score[a, 0])},
+                    "hops": hops,
+                    "path": p,
+                    "total_hops": len(hops),
+                    "total_discovered": len(p),
+                })
+            return infos
+
+        if cfg.method in ("ssg", "triangulation"):
+            infos = traversal_info(details["trav"])
+            out["retrieval_details"] = {
+                "method": cfg.method,
+                "traversal_info": infos[0] if len(infos) == 1 else infos,
+                "max_hops": cfg.max_hops,
+                "neighbor_k": cfg.neighbor_k,
+            }
+        elif cfg.method == "hybrid_expansion":
+            basic_rows = np.asarray(details["basic_rows"])
+            basic_ok = np.asarray(details["basic_ok"])
+            basic_set = set(basic_rows[basic_ok].tolist())
+
+            def method_stats(res) -> Tuple[Dict, List[Dict]]:
+                hops = np.asarray(res.path)[:, 1:]
+                expanded = hops[hops >= 0]
+                uniq = set(expanded.tolist())
+                new = sorted(uniq - basic_set)
+                stats = {
+                    "total_expanded": int(expanded.size),
+                    "new_only": len(new),
+                    "in_basic_top50": int(expanded.size) - len(new),
+                }
+                return stats, [chunk_info(r) for r in new]
+
+            ssg_stats, ssg_new = method_stats(details["ssg"])
+            tri_stats, tri_new = method_stats(details["tri"])
+            out["algorithm_contribution"] = {
+                "basic_retrieval_count": len(basic_set),
+                "ssg_new_chunks_count": len(ssg_new),
+                "triangulation_new_chunks_count": len(tri_new),
+                "ssg_new_chunks": ssg_new,
+                "triangulation_new_chunks": tri_new,
+                "ssg_stats": ssg_stats,
+                "triangulation_stats": tri_stats,
+            }
+            # bounded per-anchor traversal records for the UI's drill-down
+            infos = traversal_info(details["ssg"])
+            out["retrieval_details"] = {
+                "method": cfg.method,
+                "traversal_info": infos,
+                "max_hops": cfg.max_hops,
+                "neighbor_k": cfg.neighbor_k,
+            }
         return out

@@ -46,6 +46,13 @@ class TraversalResult(NamedTuple):
     hop_score: jax.Array   # f32 [A, H+1] — internal per-hop score
                            # (SSG: chunk-to-chunk sim; Tri: centroid score;
                            #  anchor slot: 1.0 / query·anchor respectively)
+    cand_ids: jax.Array    # i32 [A, H, R] — per-hop candidate rows, -1 pad
+                           # (reference records top-10 candidates per hop,
+                           #  src/retrieval.py:665 `candidates[:10]`)
+    cand_scores: jax.Array  # f32 [A, H, R] — matching step scores
+
+
+CAND_RECORD = 10  # candidates kept per hop (reference src/retrieval.py:665)
 
 
 def _hop_candidates(cur_vec, emb, mask, path, neighbor_k):
@@ -102,8 +109,12 @@ def traverse(
     if mask.ndim == 1:
         mask = jnp.broadcast_to(mask[None, :], (A, mask.shape[0]))
 
+    R = min(CAND_RECORD, neighbor_k + 1)
+    cand_ids = jnp.full((A, H, R), -1, jnp.int32)
+    cand_scores = jnp.zeros((A, H, R), jnp.float32)
+
     def body(hop, state):
-        path, hop_score, cur_idx, cur_vec, prev_sim, active = state
+        path, hop_score, cand_ids, cand_scores, cur_idx, cur_vec, prev_sim, active = state
         vals, ids, visited = _hop_candidates(cur_vec, emb, mask, path, neighbor_k)
         cand_ok = (~visited) & (vals > NEG_INF / 2)
 
@@ -131,16 +142,31 @@ def traverse(
         new_idx = jnp.where(step, best_id, cur_idx)
         path = path.at[:, hop + 1].set(jnp.where(step, best_id, -1))
         hop_score = hop_score.at[:, hop + 1].set(jnp.where(step, best_score, 0.0))
+
+        # record the hop's top-R candidates (observability parity with the
+        # reference's traversal_details, src/retrieval.py:661-668)
+        r_vals, r_j = jax.lax.top_k(step_score, R)
+        r_ids = jnp.take_along_axis(ids, r_j, axis=1)
+        rec_ok = step[:, None] & (r_vals > NEG_INF / 2)
+        cand_ids = cand_ids.at[:, hop, :].set(jnp.where(rec_ok, r_ids, -1))
+        cand_scores = cand_scores.at[:, hop, :].set(jnp.where(rec_ok, r_vals, 0.0))
+
         new_vec = jnp.where(
             step[:, None], emb[jnp.maximum(new_idx, 0)].astype(jnp.float32), cur_vec
         )
         prev_sim = jnp.where(step, best_score, prev_sim)
-        return path, hop_score, new_idx, new_vec, prev_sim, step
+        return path, hop_score, cand_ids, cand_scores, new_idx, new_vec, prev_sim, step
 
     prev_sim0 = jnp.where(active0, 1.0, NEG_INF)  # anchor self-similarity (reference :613)
-    state = (path, hop_score, jnp.maximum(anchor_idx, 0), anchor_vec, prev_sim0, active0)
-    path, hop_score, *_ = jax.lax.fori_loop(0, H, body, state)
-    return TraversalResult(path=path, valid=path >= 0, hop_score=hop_score)
+    state = (
+        path, hop_score, cand_ids, cand_scores,
+        jnp.maximum(anchor_idx, 0), anchor_vec, prev_sim0, active0,
+    )
+    path, hop_score, cand_ids, cand_scores, *_ = jax.lax.fori_loop(0, H, body, state)
+    return TraversalResult(
+        path=path, valid=path >= 0, hop_score=hop_score,
+        cand_ids=cand_ids, cand_scores=cand_scores,
+    )
 
 
 def emit_hits(

@@ -168,3 +168,55 @@ def test_doc_truncation_keeps_newest(rng):
     searched_docs = {int(d) for i in range(4) for d in np.unique(doc_ids[np.asarray(dm[i])])}
     years = {meta.docs[d].year for d in searched_docs}
     assert years == {2021, 2022, 2023, 2024}
+
+
+def test_ssg_retrieval_details(engine, rng):
+    """Traversal observability parity: per-anchor path + per-hop candidates
+    with the selected one flagged (reference src/retrieval.py:585-688)."""
+    eng, reports, embs = engine
+    q = _q_for(embs, 0, 2, rng)
+    cfg = SearchConfig(method="ssg", max_hops=3, neighbor_k=4, top_n=10)
+    cands, details = eng.search(q, "金盘科技", cfg=cfg, with_details=True)
+    out = eng.materialize_details(details, cfg)
+    rd = out["retrieval_details"]
+    assert rd["method"] == "ssg" and rd["max_hops"] == 3 and rd["neighbor_k"] == 4
+    infos = rd["traversal_info"]
+    infos = infos if isinstance(infos, list) else [infos]
+    assert infos, "at least one anchor traversal recorded"
+    for info in infos:
+        assert info["path"][0] == info["anchor"]["idx"]
+        assert info["total_discovered"] == len(info["path"])
+        assert info["total_hops"] == len(info["hops"])
+        for h, hop in enumerate(info["hops"]):
+            assert hop["hop_number"] == h + 1
+            assert hop["current_chunk"] == info["path"][h]
+            assert hop["selected_idx"] == info["path"][h + 1]
+            sel = [c for c in hop["candidates"] if c["selected"]]
+            assert len(sel) == 1 and sel[0]["idx"] == hop["selected_idx"]
+            assert abs(sel[0]["score"] - hop["selected_score"]) < 1e-5
+
+
+def test_hybrid_algorithm_contribution(engine, rng):
+    """Per-method contribution stats (reference src/retrieval.py:1781-1810)."""
+    eng, reports, embs = engine
+    q = _q_for(embs, 0, 2, rng)
+    cfg = SearchConfig(method="hybrid_expansion", max_hops=2, neighbor_k=4, top_n=20)
+    cands, details = eng.search(q, "金盘科技", cfg=cfg, with_details=True)
+    out = eng.materialize_details(details, cfg)
+    ac = out["algorithm_contribution"]
+    assert ac is not None
+    for key in ("basic_retrieval_count", "ssg_new_chunks_count",
+                "triangulation_new_chunks_count", "ssg_stats", "triangulation_stats"):
+        assert key in ac
+    assert ac["basic_retrieval_count"] > 0
+    for m in ("ssg", "triangulation"):
+        st = ac[f"{m}_stats"] if m == "ssg" else ac["triangulation_stats"]
+        st = ac["ssg_stats"] if m == "ssg" else ac["triangulation_stats"]
+        assert st["total_expanded"] >= st["new_only"] >= 0
+        assert st["in_basic_top50"] == st["total_expanded"] - st["new_only"]
+        assert ac[f"{m}_new_chunks_count" if m == "ssg" else "triangulation_new_chunks_count"] == st["new_only"]
+    for ch in ac["ssg_new_chunks"] + ac["triangulation_new_chunks"]:
+        assert set(ch) == {"chunk_id", "page", "source_sha1"}
+    # default (no with_details) call shape is unchanged
+    cands_only = eng.search(q, "金盘科技", cfg=cfg)
+    assert not isinstance(cands_only, tuple)
