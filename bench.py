@@ -40,6 +40,233 @@ def sync(x):
     return np.asarray(jnp.sum(x[0] if isinstance(x, tuple) else x))
 
 
+def bench_ivf_1m(extras, N=1_000_000, D=1024, K_CLUSTERS=4096):
+    """BASELINE config 3: IVF-Flat at 1M×1024, k-means built ON the TPU,
+    recall@10/@30 vs exact at equal memory (same f32 rows; the permuted
+    copy replaces the flat matrix in production) + probe QPS."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.ivf import build_ivf, ivf_search
+    from rag_challenge_2_tpu.ops.topk import dense_topk
+
+    NQ = 127
+    # Real text embeddings are strongly clustered (documents, topics);
+    # isotropic random vectors have no cluster structure and make every IVF
+    # look broken.  Model the workload as a mixture of Gaussians with
+    # queries perturbed from corpus points — the regime FAISS-IVF recall
+    # numbers are quoted in.
+    N_CENTERS = 1024
+    key = jax.random.PRNGKey(0)
+    kc_, ka_, kn_, kr_, kqn_ = jax.random.split(key, 5)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gen_corpus(n):
+        centers = jax.random.normal(kc_, (N_CENTERS, D), jnp.float32)
+        centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+        a = jax.random.randint(ka_, (n,), 0, N_CENTERS)
+        e = centers[a] + (0.35 / jnp.sqrt(D)) * jax.random.normal(kn_, (n, D), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    @jax.jit
+    def gen_queries(emb):
+        r = jax.random.randint(kr_, (NQ,), 0, emb.shape[0])
+        qq = emb[r] + (0.25 / jnp.sqrt(D)) * jax.random.normal(kqn_, (NQ, D), jnp.float32)
+        return qq / jnp.linalg.norm(qq, axis=1, keepdims=True)
+
+    emb = gen_corpus(N)
+    q = gen_queries(emb)
+    sync(emb)
+
+    t0 = time.perf_counter()
+    ivf = build_ivf(emb, n_clusters=K_CLUSTERS, iters=8,
+                    max_list_size=max(4 * N // K_CLUSTERS, 16))
+    sync(ivf.emb_perm)
+    build_s = time.perf_counter() - t0
+    log(f"ivf 1M build (on-device kmeans K={K_CLUSTERS}, balanced): {build_s:.1f}s, "
+        f"max_list={ivf.max_list}")
+
+    # exact oracle (f32 flat) for recall
+    oracle_v, oracle_i = dense_topk(q, emb, 30, impl="xla")
+    oracle10 = np.asarray(oracle_i)[:, :10]
+    oracle30 = np.asarray(oracle_i)
+
+    sweep = []
+    for nprobe in (2, 4, 8):
+        vals, rows = ivf_search(ivf, q, 30, nprobe=nprobe)
+        got = np.asarray(rows)  # also settles the compile
+        r10 = float(np.mean([
+            len(set(got[i, :10]) & set(oracle10[i])) / 10 for i in range(NQ)
+        ]))
+        r30 = float(np.mean([
+            len(set(got[i]) & set(oracle30[i])) / 30 for i in range(NQ)
+        ]))
+        for _ in range(2):  # warm the dispatch path before timing
+            vals, rows = ivf_search(ivf, q, 30, nprobe=nprobe)
+        sync(vals)
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            vals, rows = ivf_search(ivf, q, 30, nprobe=nprobe)
+        sync(vals)
+        qps = NQ * reps / (time.perf_counter() - t0)
+        sweep.append((nprobe, r10, r30, qps))
+        log(f"ivf 1M nprobe={nprobe}: recall@10={r10:.4f} recall@30={r30:.4f} "
+            f"{qps:.1f} qps")
+        extras[f"ivf_1m_recall@10_np{nprobe}"] = round(r10, 4)
+        extras[f"ivf_1m_qps_np{nprobe}"] = round(qps, 1)
+    # headline = fastest operating point that keeps recall@10 ≥ 0.9
+    good = [s for s in sweep if s[1] >= 0.9] or [max(sweep, key=lambda s: s[1])]
+    np_, r10_, r30_, qps_ = max(good, key=lambda s: s[3])
+    extras["ivf_1m_nprobe"] = np_
+    extras["ivf_1m_recall@10"] = round(r10_, 4)
+    extras["ivf_1m_recall@30"] = round(r30_, 4)
+    extras["ivf_1m_qps"] = round(qps_, 1)
+
+    # exact-flat QPS at 1M for the speedup-vs-exact context
+    ev, _ = dense_topk(q, emb, 30, impl="xla")
+    sync(ev)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ev, _ = dense_topk(q, emb, 30, impl="xla")
+    sync(ev)
+    extras["exact_1m_qps"] = round(NQ * reps / (time.perf_counter() - t0), 1)
+    extras["ivf_1m_build_s"] = round(build_s, 1)
+    log(f"exact flat 1M: {extras['exact_1m_qps']} qps")
+
+
+def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
+    """BASELINE config 5 (single-chip witness): dense+BM25+routing+fusion in
+    ONE jitted graph at the largest corpus one chip holds comfortably
+    (2M×1024 bf16 rows + a synthetic capped CSR).  The multi-chip sharded
+    variant of the same graph is validated by dryrun_multichip."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.schema import CorpusIndex, SparseIndex
+    from rag_challenge_2_tpu.ops.topk import dense_topk
+    from rag_challenge_2_tpu.retrieval.engine import SearchConfig, search_device
+
+    N_DOCS, Q_BATCH, NQ, T = 6, 8, 127, 64
+    key = jax.random.PRNGKey(1)
+    kq, ke, kc, kt, kqt = jax.random.split(key, 5)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gen(k, n):
+        e = jax.random.normal(k, (n, D), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    emb32 = gen(ke, N)
+    q32 = gen(kq, NQ)
+    # f32 oracle BEFORE casting down (transient peak; freed below)
+    _, oracle_i = dense_topk(q32, emb32, 10, impl="xla")
+    oracle10 = np.asarray(oracle_i)
+    emb = emb32.astype(jnp.bfloat16)
+    del emb32
+    q = q32.astype(jnp.bfloat16)
+    sync(emb)
+
+    # synthetic capped CSR generated on device (a real build tokenizes text
+    # host-side; the kernel cost depends only on these shapes)
+    V = 1 << V_BITS
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, W + 1, size=V).astype(np.int64)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    chunk_ids = jax.random.randint(kc, (nnz,), 0, N, jnp.int32)
+    tf = jax.random.randint(kt, (nnz,), 1, 5, jnp.int32).astype(jnp.float32)
+    sparse = SparseIndex(
+        indptr=jnp.asarray(indptr, jnp.int32),
+        chunk_ids=chunk_ids,
+        tf=tf,
+        df=jnp.asarray(counts, jnp.float32),
+        chunk_len=jnp.full((N,), 300.0, jnp.float32),
+        avgdl=jnp.float32(300.0),
+        vocab_bits=V_BITS,
+        max_postings=W,
+    )
+
+    rows = jnp.arange(N, dtype=jnp.int32)
+    per_doc = N // N_DOCS
+    doc_id = rows // per_doc
+    idx = CorpusIndex(
+        emb=emb, doc_id=doc_id, page=rows % 500 + 1,
+        year=2020 + doc_id, company_id=jnp.zeros((N,), jnp.int32),
+        kind=jnp.zeros((N,), jnp.int32), page_seg=rows // 4,
+        chunk_in_doc=rows % per_doc, valid=jnp.ones((N,), bool),
+        sparse=sparse, n_chunks=N, n_pages=N // 4, n_docs=N_DOCS, dim=D,
+    )
+    # year-routed doc masks (3-doc window, as extract_years does)
+    doc_masks = jnp.stack([doc_id == d for d in range(N_DOCS)])
+    doc_valid = jnp.asarray([True, True, True, False, False, False])
+
+    cfg = SearchConfig(
+        method="basic", top_k=30, max_queries=Q_BATCH, max_docs=N_DOCS,
+        top_n=30, use_bm25=True, bm25_top_k=30,
+    )
+    q_valid = jnp.ones((Q_BATCH,), bool)
+    q_terms = jax.random.randint(kqt, (Q_BATCH, T), 0, V, jnp.int32)
+
+    def one_call(qs):
+        return search_device(idx, qs, q_valid, doc_masks, doc_valid, cfg, q_terms)
+
+    reps = 16  # 16 calls × 8 queries = 128 ≈ the 127-question val set
+    # pre-slice on device: a per-call eager slice costs one relay dispatch
+    # round-trip each and inflates the measured latency
+    q_batches = [
+        q[(r * Q_BATCH) % (NQ - Q_BATCH):][:Q_BATCH] for r in range(reps)
+    ]
+    sync(q_batches[-1])
+    fused, _ = one_call(q_batches[0])
+    sync(fused.score)  # compile + settle
+    t0 = time.perf_counter()
+    for r in range(reps):
+        fused, _ = one_call(q_batches[r])
+    sync(fused.score)
+    hybrid_qps = Q_BATCH * reps / (time.perf_counter() - t0)
+
+    # dense recall@10 of the served bf16 path vs the f32 oracle (routing off
+    # for comparability with the oracle)
+    _, got_i = dense_topk(q, emb, 10, impl="xla")
+    got = np.asarray(got_i)
+    r10 = float(np.mean([
+        len(set(got[i]) & set(oracle10[i])) / 10 for i in range(NQ)
+    ]))
+    extras["hybrid_qps"] = round(hybrid_qps, 1)
+    extras["hybrid_corpus_rows"] = N
+    extras["hybrid_bf16_recall@10"] = round(r10, 4)
+    log(f"hybrid 2M bf16 (dense+bm25+fusion, one graph): {hybrid_qps:.1f} qps, "
+        f"dense bf16 recall@10 vs f32 exact = {r10:.4f}")
+
+
+def bench_encoder(extras):
+    """BASELINE config 4 witness: on-device corpus-embedding throughput of
+    the production-size encoder (the reference rents this from the Qwen
+    embedding API, src/api_requests.py:55-127)."""
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel, EncoderConfig
+
+    model = EmbeddingModel(EncoderConfig())
+    texts = [
+        f"金盘科技2024年第{i}季度营业收入与毛利率分析，干式变压器产品出口占比{i%40}％，"
+        f"研发费用同比增长情况及储能业务新签订单金额说明。" for i in range(2048)
+    ]
+    t0 = time.perf_counter()
+    model.embed(texts[:256])  # compile + settle
+    log(f"encoder compile+first batch: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    out = model.embed(texts)
+    dt = time.perf_counter() - t0
+    assert out.shape[0] == len(texts)
+    extras["encoder_chunks_per_s"] = round(len(texts) / dt, 1)
+    log(f"encoder throughput: {extras['encoder_chunks_per_s']} chunks/s")
+
+
 def main():
     from rag_challenge_2_tpu.utils.cache import enable_compile_cache
 
@@ -148,6 +375,22 @@ def main():
         log(f"bf16 fast: {extras['bf16_fast_qps']} qps, recall {extras['bf16_recall_at_10']}")
     except Exception as e:  # pragma: no cover
         log(f"bf16 path skipped: {e}")
+
+    import os
+
+    sections = [
+        ("ivf_1m", bench_ivf_1m),
+        ("hybrid", bench_hybrid_at_scale),
+        ("encoder", bench_encoder),
+    ]
+    for name, fn in sections:
+        if os.environ.get(f"RAGTPU_BENCH_{name.upper()}", "1") == "0":
+            log(f"{name} section skipped by env")
+            continue
+        try:
+            fn(extras)
+        except Exception as e:  # pragma: no cover — headline must still print
+            log(f"{name} section failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "exact_flat_query_qps_valset_shape",

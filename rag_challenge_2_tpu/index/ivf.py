@@ -116,11 +116,16 @@ def build_ivf(
     np.cumsum(counts, out=offsets[1:])
 
     n_pad = N  # keep the padded length of the source matrix
-    # permute on device; pad rows stay zero
-    emb_perm_dev = jnp.zeros((n_pad, D), emb.dtype)
-    emb_perm_dev = emb_perm_dev.at[: len(rows)].set(
-        x[jnp.asarray(order)].astype(emb.dtype)
-    )
+    # permute on device; pad rows stay zero.  The all-valid case is a single
+    # gather — the zeros+set formulation costs an extra full-matrix buffer
+    # exactly at the build's peak (4 GB at 1M×1024).
+    if len(rows) == n_pad:
+        emb_perm_dev = x[jnp.asarray(order)].astype(emb.dtype)
+    else:
+        emb_perm_dev = jnp.zeros((n_pad, D), emb.dtype)
+        emb_perm_dev = emb_perm_dev.at[: len(rows)].set(
+            x[jnp.asarray(order)].astype(emb.dtype)
+        )
     row_ids = np.full((n_pad,), -1, np.int32)
     pos_cluster = np.full((n_pad,), K, np.int32)
     row_ids[: len(rows)] = rows[order]

