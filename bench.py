@@ -172,15 +172,19 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
     sync(emb)
 
     # synthetic capped CSR generated on device (a real build tokenizes text
-    # host-side; the kernel cost depends only on these shapes)
+    # host-side; the kernel cost depends only on these shapes), with the
+    # DMA slack index/build.py guarantees so the Pallas span gather engages
+    from rag_challenge_2_tpu.ops.pallas_bm25 import dma_slack
+
     V = 1 << V_BITS
     rng = np.random.default_rng(3)
     counts = rng.integers(1, W + 1, size=V).astype(np.int64)
     indptr = np.zeros(V + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])
     nnz = int(indptr[-1])
-    chunk_ids = jax.random.randint(kc, (nnz,), 0, N, jnp.int32)
-    tf = jax.random.randint(kt, (nnz,), 1, 5, jnp.int32).astype(jnp.float32)
+    nnz_pad = -(-(nnz + dma_slack(W)) // 1024) * 1024
+    chunk_ids = jax.random.randint(kc, (nnz_pad,), 0, N, jnp.int32)
+    tf = jax.random.randint(kt, (nnz_pad,), 1, 5, jnp.int32).astype(jnp.float32)
     sparse = SparseIndex(
         indptr=jnp.asarray(indptr, jnp.int32),
         chunk_ids=chunk_ids,
@@ -190,6 +194,7 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
         avgdl=jnp.float32(300.0),
         vocab_bits=V_BITS,
         max_postings=W,
+        dma_pad=nnz_pad - nnz,
     )
 
     rows = jnp.arange(N, dtype=jnp.int32)
@@ -202,9 +207,11 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
         chunk_in_doc=rows % per_doc, valid=jnp.ones((N,), bool),
         sparse=sparse, n_chunks=N, n_pages=N // 4, n_docs=N_DOCS, dim=D,
     )
-    # year-routed doc masks (3-doc window, as extract_years does)
+    # year-routed doc masks (3-doc window, as extract_years does) + the
+    # slot-per-row map the single-sort BM25 top-k uses
     doc_masks = jnp.stack([doc_id == d for d in range(N_DOCS)])
     doc_valid = jnp.asarray([True, True, True, False, False, False])
+    row_slot = jnp.where(doc_id < 3, doc_id, N_DOCS).astype(jnp.int32)
 
     cfg = SearchConfig(
         method="basic", top_k=30, max_queries=Q_BATCH, max_docs=N_DOCS,
@@ -214,7 +221,9 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
     q_terms = jax.random.randint(kqt, (Q_BATCH, T), 0, V, jnp.int32)
 
     def one_call(qs):
-        return search_device(idx, qs, q_valid, doc_masks, doc_valid, cfg, q_terms)
+        return search_device(
+            idx, qs, q_valid, doc_masks, doc_valid, cfg, q_terms, None, row_slot
+        )
 
     reps = 16  # 16 calls × 8 queries = 128 ≈ the 127-question val set
     # pre-slice on device: a per-call eager slice costs one relay dispatch

@@ -169,13 +169,19 @@ def _build_sparse(
         )
 
     nnz = int(indptr[-1])
-    nnz_pad = max(_round_up(max(nnz, 1), 128), 128)
+    counts = np.diff(indptr)
+    max_post = int(counts.max()) if len(counts) else 0
+    # over-allocate so the Pallas span-gather kernel can DMA an ALIGNED
+    # extended span past any start offset without clamping (schema.dma_pad;
+    # ops/pallas_bm25.dma_slack)
+    from ..ops.pallas_bm25 import dma_slack
+
+    nnz_pad = max(_round_up(max(nnz, 1) + dma_slack(max_post), 1024), 1024)
     chunk_ids = np.full((nnz_pad,), n_pad - 1, np.int32)  # pad → last (invalid) row
     tf = np.zeros((nnz_pad,), np.float32)
     chunk_ids[:nnz] = chunk_ids_u
     tf[:nnz] = tf_u
 
-    counts = np.diff(indptr)
     avgdl = float(chunk_len[:n].mean()) if n else 1.0
     return SparseIndex(
         indptr=jnp.asarray(indptr, jnp.int32),
@@ -185,7 +191,8 @@ def _build_sparse(
         chunk_len=jnp.asarray(chunk_len),
         avgdl=jnp.float32(avgdl),
         vocab_bits=vocab_bits,
-        max_postings=int(counts.max()) if len(counts) else 0,
+        max_postings=max_post,
+        dma_pad=nnz_pad - nnz,
     )
 
 

@@ -58,6 +58,10 @@ class SparseIndex:
     avgdl: jax.Array       # f32 scalar
     vocab_bits: int = dataclasses.field(metadata=dict(static=True), default=20)
     max_postings: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # slack beyond indptr[-1] in chunk_ids/tf: when ≥ the gather window, the
+    # Pallas contiguous-DMA span gather (ops/pallas_bm25.py) is eligible —
+    # spans can be copied without bounds clamping
+    dma_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 @jax.tree_util.register_dataclass

@@ -100,6 +100,8 @@ def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Option
             avgdl=jnp.asarray(z["sp_avgdl"]),
             vocab_bits=statics["sp_vocab_bits"],
             max_postings=statics["sp_max_postings"],
+            # recomputed (not persisted): slack beyond the live postings
+            dma_pad=int(len(z["sp_chunk_ids"]) - z["sp_indptr"][-1]),
         )
     idx = CorpusIndex(
         emb=jnp.asarray(z["emb"]),

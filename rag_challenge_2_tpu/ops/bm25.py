@@ -3,10 +3,18 @@
 TPU-native replacement for per-document ``BM25Okapi.get_scores``
 (reference src/ingestion.py:19-22 builds, src/retrieval.py:261-262 scores).
 The device never loops over documents: queries arrive as padded term-id
-batches, postings are gathered per term with a static window, and
-contributions scatter-add into one ``[B, N]`` score matrix.  Company/year
-routing is applied by the caller as a mask — same predicate as the dense
-path, replacing the reference's per-company file selection.
+batches and postings are gathered per term with a static window (the
+contiguous-span DMA kernel in ops/pallas_bm25.py on TPU, an XLA gather
+elsewhere).  Two back halves:
+
+* ``bm25_topk`` (the serving path) — sort+segment-sum over the gathered
+  postings, then per-doc top-k via one (slot, score) sort; memory scales
+  with B·T·window, never the corpus.  See DESIGN.md for measurements.
+* ``bm25_scores`` — materializes the full ``[B, N]`` score matrix
+  (scatter-add); the oracle for tests and small corpora.
+
+Company/year routing is applied as masks/slots — same predicate as the
+dense path, replacing the reference's per-company file selection.
 
 Scoring model: Okapi BM25 with the non-negative (Lucene-style) idf
 ``log(1 + (N - df + 0.5)/(df + 0.5))``.  Exact numeric parity with
@@ -28,14 +36,15 @@ from ..index.schema import SparseIndex
 from .topk import NEG_INF
 
 
-@functools.partial(jax.jit, static_argnames=("window", "n_rows", "k1", "b"))
+@functools.partial(jax.jit, static_argnames=("window", "n_rows", "k1", "b", "use_pallas"))
 def _bm25_scores_impl(
-    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *, window, n_rows, k1, b
+    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *, window, n_rows, k1, b,
+    use_pallas=False,
 ):
     B, T = query_terms.shape
     rows, contrib = _gather_contributions(
         indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms,
-        window=window, k1=k1, b=b,
+        window=window, k1=k1, b=b, use_pallas=use_pallas,
     )
     rows_flat = rows.reshape(B, T * window)
     contrib_flat = contrib.reshape(B, T * window)
@@ -52,6 +61,7 @@ def bm25_scores(
     k1: float = 1.5,
     b: float = 0.75,
     window: Optional[int] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Score every corpus row for each query.
 
@@ -80,26 +90,58 @@ def bm25_scores(
         n_rows=n_rows,
         k1=k1,
         b=b,
+        use_pallas=_pick_pallas(impl, sparse, W),
+    )
+
+
+def _pick_pallas(impl: str, sparse: SparseIndex, window: int) -> bool:
+    """Span gather goes to the Pallas DMA kernel on TPU whenever the CSR
+    carries enough slack (dma_pad) for unclamped aligned extended copies."""
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    from .pallas_bm25 import dma_slack
+
+    return (
+        jax.default_backend() == "tpu"
+        and sparse.dma_pad >= dma_slack(window)
+        and sparse.chunk_ids.shape[0] % 128 == 0
     )
 
 
 def _gather_contributions(
-    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *, window, k1, b
+    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *,
+    window, k1, b, use_pallas: bool = False,
 ):
     """Per-(term, posting) BM25 contributions.  Returns (rows, contrib)
-    of shape [B, T, W] — the shared front half of both scoring kernels."""
+    of shape [B, T, W] — the shared front half of both scoring kernels.
+
+    ``use_pallas`` switches the span gather to the contiguous-DMA kernel
+    (ops/pallas_bm25.py); requires ``SparseIndex.dma_pad ≥ window`` so a
+    span never reads past the buffer (the caller checks)."""
+    B, T = query_terms.shape
     terms = jnp.maximum(query_terms, 0)
     starts = indptr[terms]                      # [B, T]
     counts = indptr[terms + 1] - starts         # [B, T]
     counts = jnp.where(query_terms >= 0, counts, 0)
 
     offs = jnp.arange(window, dtype=jnp.int32)  # [W]
-    pos = starts[..., None] + offs              # [B, T, W]
     in_window = offs[None, None, :] < counts[..., None]
-    pos = jnp.clip(pos, 0, chunk_ids.shape[0] - 1)
 
-    rows = chunk_ids[pos]                       # [B, T, W]
-    tfv = tf[pos]                               # [B, T, W]
+    if use_pallas:
+        from .pallas_bm25 import gather_posting_spans
+
+        ids_g, tf_g = gather_posting_spans(
+            chunk_ids, tf, starts.reshape(-1), window=window
+        )
+        rows = ids_g.reshape(B, T, window)
+        tfv = tf_g.reshape(B, T, window)
+    else:
+        pos = starts[..., None] + offs          # [B, T, W]
+        pos = jnp.clip(pos, 0, chunk_ids.shape[0] - 1)
+        rows = chunk_ids[pos]                   # [B, T, W]
+        tfv = tf[pos]                           # [B, T, W]
 
     n_corpus = jnp.maximum(jnp.sum(chunk_len > 0).astype(jnp.float32), 1.0)
     dfv = df[terms]                             # [B, T]
@@ -113,15 +155,15 @@ def _gather_contributions(
     return rows, contrib
 
 
-@functools.partial(jax.jit, static_argnames=("window", "k", "k1", "b"))
+@functools.partial(jax.jit, static_argnames=("window", "k", "k1", "b", "use_pallas"))
 def _bm25_topk_impl(
     indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, doc_masks,
-    *, window, k, k1, b
+    row_slot, *, window, k, k1, b, use_pallas=False
 ):
     B, T = query_terms.shape
     rows, contrib = _gather_contributions(
         indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms,
-        window=window, k1=k1, b=b,
+        window=window, k1=k1, b=b, use_pallas=use_pallas,
     )
     L = T * window
     r_flat = rows.reshape(B, L)
@@ -145,6 +187,31 @@ def _bm25_topk_impl(
     M = doc_masks.shape[0]
     safe = jnp.clip(r_s, 0, doc_masks.shape[1] - 1)
 
+    if row_slot is not None:
+        # ONE sort by (slot, -score) instead of M top_k passes (each a full
+        # [B, L] sort): candidates land slot-major best-first, rank within
+        # slot comes from a cummax of segment starts, and a tiny scatter
+        # into [B, M*k] lays out the per-doc top-k.  Requires disjoint doc
+        # masks (slot per row), which routing guarantees.
+        slot = jnp.where(scores > NEG_INF / 2, row_slot[safe], M)
+        sl, negs, rr = jax.lax.sort((slot, -scores, r_s), num_keys=2)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        new_slot = jnp.concatenate(
+            [jnp.ones((B, 1), bool), sl[:, 1:] != sl[:, :-1]], axis=1
+        )
+        seg_start = jax.lax.cummax(jnp.where(new_slot, pos, 0), axis=1)
+        rank = pos - seg_start
+        keep = (sl < M) & (rank < k)
+        p = jnp.where(keep, sl * k + rank, M * k)
+        out_v = jnp.zeros((B, M * k + 1), jnp.float32)
+        out_r = jnp.full((B, M * k + 1), -1, jnp.int32)
+        out_v = jax.vmap(lambda o, i, v: o.at[i].set(v))(out_v, p, -negs)
+        out_r = jax.vmap(lambda o, i, v: o.at[i].set(v))(out_r, p, rr)
+        bv = out_v[:, : M * k].reshape(B, M, k).transpose(1, 0, 2)
+        br = out_r[:, : M * k].reshape(B, M, k).transpose(1, 0, 2)
+        valid = br >= 0
+        return jnp.where(valid, bv, 0.0), br, valid
+
     def per_doc(_, m):
         in_doc = doc_masks[m][safe]          # [B, L] row-eligibility gather
         sv = jnp.where(in_doc, scores, NEG_INF)
@@ -163,21 +230,27 @@ def bm25_topk(
     doc_masks: jax.Array,
     k: int,
     *,
+    row_slot: Optional[jax.Array] = None,
     k1: float = 1.5,
     b: float = 0.75,
     window: Optional[int] = None,
+    impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-document BM25 top-k WITHOUT materializing [B, N] scores.
 
-    The scatter-add formulation (``bm25_scores``) writes a [B, N] matrix —
-    measured 20 ms/call at N=1.5M on v5e vs ~1 ms for this sort+segment
-    kernel, whose cost scales with the gathered postings (B·T·window), not
-    the corpus size.
+    Cost scales with the gathered postings (B·T·window), not the corpus
+    size.  Measured on v5e at N=1.5M, B=8, T=64, W=512 (see DESIGN.md):
+    scatter [B, N] kernel + per-doc scan ≈ 26 ms → this path with the
+    Pallas span gather and a row_slot ≈ 7 ms.
 
     Args:
         query_terms: [B, T] hashed term ids, -1 padded.
-        doc_masks: [M, N_pad] bool routed row masks.
+        doc_masks: [M, N_pad] bool routed row masks (disjoint per row).
         k: per-(query, doc) candidates.
+        row_slot: optional [N_pad] i32 — the doc slot (0..M-1) each corpus
+            row belongs to, M for unrouted rows.  Supplying it replaces the
+            M per-doc top_k sorts with ONE (slot, -score) sort — measured
+            ~3× faster on the per-doc stage at L = 32k.
 
     Returns:
         ``(scores [M, B, k] f32 — 0 where invalid, rows [M, B, k] i32 — -1
@@ -186,8 +259,9 @@ def bm25_topk(
     W = int(window or max(sparse.max_postings, 1))
     return _bm25_topk_impl(
         sparse.indptr, sparse.chunk_ids, sparse.tf, sparse.df,
-        sparse.chunk_len, sparse.avgdl, query_terms, doc_masks,
+        sparse.chunk_len, sparse.avgdl, query_terms, doc_masks, row_slot,
         window=W, k=k, k1=k1, b=b,
+        use_pallas=_pick_pallas(impl, sparse, W),
     )
 
 

@@ -88,6 +88,7 @@ def search_device(
     cfg: SearchConfig,
     q_terms: Optional[jax.Array] = None,  # [Q, T] hashed term ids (use_bm25)
     ivf=None,                             # IVFIndex when cfg.use_ivf
+    row_slot: Optional[jax.Array] = None,  # [N] doc-slot per row (use_bm25)
 ) -> Tuple[FusedCandidates, Dict]:
     """Full fan-out + aggregation for one question, on device.
 
@@ -188,7 +189,7 @@ def search_device(
         # ~1 ms at N=1.5M on v5e)
         k_bm = min(cfg.bm25_top_k, N)
         bv_mqk, brows_mqk, ok_mqk = bm25_topk(
-            index.sparse, q_terms, doc_masks, k_bm
+            index.sparse, q_terms, doc_masks, k_bm, row_slot=row_slot
         )
         # [M, Q, k] → [Q*M, k] with row index q*M + m (matches qid_pair)
         bv = bv_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm)
@@ -286,11 +287,15 @@ class QueryEngine:
             return cached
         m = np.zeros((max_docs, self.index.n_pad), bool)
         v = np.zeros((max_docs,), bool)
+        # slot id per corpus row (max_docs = unrouted) — lets the BM25
+        # top-k replace per-doc sorts with one (slot, score) sort
+        slot = np.full((self.index.n_pad,), max_docs, np.int32)
         valid = np.asarray(self.index.valid)
         for i, d in enumerate(doc_ids):
             m[i] = valid & (self._doc_ids_np == d)
+            slot[m[i]] = i
             v[i] = True
-        out = (jnp.asarray(m), jnp.asarray(v))
+        out = (jnp.asarray(m), jnp.asarray(v), jnp.asarray(slot))
         self._mask_cache[key] = out  # routes are few; device masks are reused
         return out
 
@@ -312,7 +317,7 @@ class QueryEngine:
         doc_ids = self.routed_docs(company, question, selected_years)
         if not doc_ids:
             raise ValueError(f"No report found with '{company}' company name.")
-        dm, dv = self.doc_masks(doc_ids, cfg.max_docs)
+        dm, dv, row_slot = self.doc_masks(doc_ids, cfg.max_docs)
         B = min(query_embs.shape[0], cfg.max_queries)
         q = np.zeros((cfg.max_queries, self.index.dim), np.float32)
         q[:B] = query_embs[:B]
@@ -329,7 +334,7 @@ class QueryEngine:
             raise ValueError("SearchConfig.use_ivf requires QueryEngine.build_ivf() first")
         cands, details = search_device(
             self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg, q_terms,
-            self.ivf if cfg.use_ivf else None,
+            self.ivf if cfg.use_ivf else None, row_slot,
         )
         return (cands, details) if with_details else cands
 

@@ -69,12 +69,12 @@ def _zipf_texts(rng, n_docs, doc_len=24, vocab=200):
     return [" ".join(f"t{t}" for t in row) for row in toks]
 
 
-def test_capped_recall_vs_uncapped(rng):
+def test_capped_recall_vs_uncapped():
     """DEFAULT posting cap must not change top-10 retrieval on a corpus
     whose stopword-like terms exceed the cap (high-df ⇒ near-zero idf)."""
     from rag_challenge_2_tpu.index.build import _build_sparse
 
-    texts = _zipf_texts(rng, 400)
+    texts = _zipf_texts(np.random.default_rng(0), 400)
     n_pad = 512
     full = _build_sparse(texts, n_pad, vocab_bits=16, max_postings_per_term=None)
     capped = _build_sparse(texts, n_pad, vocab_bits=16, max_postings_per_term=64)
@@ -149,8 +149,18 @@ def test_bm25_topk_matches_dense_scores(tiny_corpus, rng):
     doc_id = np.asarray(idx.doc_id)
     valid = np.asarray(idx.valid)
     doc_masks = jnp.asarray(np.stack([valid & (doc_id == d) for d in range(3)]))
+    slot = np.full(idx.n_pad, 3, np.int32)
+    for i in range(3):
+        slot[np.asarray(doc_masks[i])] = i
     k = 5
-    bv, br, ok = map(np.asarray, bm25_topk(idx.sparse, qt, doc_masks, k))
+    for rs in (None, jnp.asarray(slot)):
+        _check_topk(idx, meta, qt, queries, dense, doc_id, valid, doc_masks, k, rs)
+
+
+def _check_topk(idx, meta, qt, queries, dense, doc_id, valid, doc_masks, k, row_slot):
+    from rag_challenge_2_tpu.ops.bm25 import bm25_topk
+
+    bv, br, ok = map(np.asarray, bm25_topk(idx.sparse, qt, doc_masks, k, row_slot=row_slot))
     for m in range(3):
         for qi in range(len(queries)):
             ref = dense[qi].copy()
@@ -169,3 +179,19 @@ def test_bm25_topk_matches_dense_scores(tiny_corpus, rng):
             # invalid slots zeroed
             assert all(v == 0 and r == -1 for v, r, o in
                        zip(bv[m, qi], br[m, qi], ok[m, qi]) if not o)
+
+
+def test_pallas_span_gather_matches_xla(tiny_corpus):
+    """The contiguous-DMA span gather (interpret mode on CPU) must return
+    exactly what the XLA fancy-indexing path returns."""
+    idx, *_ = tiny_corpus
+    sp = idx.sparse
+    from rag_challenge_2_tpu.ops.bm25 import _pick_pallas, bm25_scores, encode_queries
+    from rag_challenge_2_tpu.ops.pallas_bm25 import dma_slack
+
+    W = max(sp.max_postings, 1)
+    assert sp.dma_pad >= dma_slack(W), "build must leave DMA slack"
+    qt = encode_queries(["金盘科技 营业收入", "页面2"], 16, sp.vocab_bits)
+    s_xla = np.asarray(bm25_scores(sp, qt, idx.n_pad, impl="xla"))
+    s_pal = np.asarray(bm25_scores(sp, qt, idx.n_pad, impl="pallas"))
+    np.testing.assert_allclose(s_pal, s_xla, rtol=1e-5, atol=1e-6)

@@ -162,7 +162,7 @@ def test_doc_truncation_keeps_newest(rng):
     import warnings
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dm, dv = eng.doc_masks(eng.routed_docs("金盘科技"), max_docs=4)
+        dm, dv, _ = eng.doc_masks(eng.routed_docs("金盘科技"), max_docs=4)
         assert any("newest" in str(x.message) for x in w)
     doc_ids = np.asarray(idx.doc_id)
     searched_docs = {int(d) for i in range(4) for d in np.unique(doc_ids[np.asarray(dm[i])])}
