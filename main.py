@@ -170,6 +170,30 @@ def train_encoder(root, config, steps, batch_size, out):
     click.echo(json.dumps({"params": str(out), **stats["final"]}, ensure_ascii=False))
 
 
+@cli.command("eval-encoder")
+@click.option("--ict-steps", default=5000, show_default=True)
+@click.option("--supervised-steps", default=2000, show_default=True)
+@click.option("--batch-size", default=64, show_default=True)
+@click.option("--out", default=None, help="write results json here")
+def eval_encoder(ict_steps, supervised_steps, batch_size, out):
+    """Encoder retrieval-quality experiment (BASELINE config 4): synthetic
+    Chinese financial corpus, held-out paraphrase queries, hit@10/MRR of
+    random-init vs ICT vs ICT+supervised vs the BM25 baseline."""
+    from rag_challenge_2_tpu.eval.encoder_quality import run_quality_eval
+    from rag_challenge_2_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    res = run_quality_eval(
+        ict_steps=ict_steps, supervised_steps=supervised_steps,
+        batch_size=batch_size, log=click.echo,
+    )
+    line = json.dumps(res, ensure_ascii=False)
+    click.echo(line)
+    if out:
+        with open(out, "w", encoding="utf-8") as f:
+            f.write(line)
+
+
 @cli.command("analyze-similarity")
 @click.option("--root", default="data/test_set", show_default=True)
 @click.option("--config", default="base", show_default=True)

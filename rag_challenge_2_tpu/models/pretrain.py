@@ -69,10 +69,12 @@ def pretrain_encoder(
     module, params, opt_state, step = init_training(enc_cfg, train_cfg, mesh, seed=pre_cfg.seed)
     rng = np.random.default_rng(pre_cfg.seed)
     history = []
+    # token sequences must stay inside the encoder's position table
+    max_len = min(pre_cfg.max_len, enc_cfg.max_len)
     for i in range(pre_cfg.steps):
         q_texts, p_texts = ict_pairs(chunk_texts, pre_cfg.batch_size, rng, pre_cfg.min_span)
-        q = jnp.asarray(tokenize_batch(q_texts, pre_cfg.max_len, enc_cfg.vocab_bits))
-        p = jnp.asarray(tokenize_batch(p_texts, pre_cfg.max_len, enc_cfg.vocab_bits))
+        q = jnp.asarray(tokenize_batch(q_texts, max_len, enc_cfg.vocab_bits))
+        p = jnp.asarray(tokenize_batch(p_texts, max_len, enc_cfg.vocab_bits))
         params, opt_state, metrics = step(params, opt_state, q, p)
         if i % log_every == 0 or i == pre_cfg.steps - 1:
             history.append({

@@ -5,8 +5,12 @@ LoC): a browser UI over the QA stack with a configuration panel (retrieval
 method, max_hops/neighbor_k, HyDE/multi-query toggles, rerank sample size,
 year filter, multi-turn window — reference :1528-1857), rich result display
 (answer, reasoning, references, all retrieved chunks with scores and
-hit-count/method tags, expansion details, timing — reference :466-1477),
-and a question-bank + LLM-judge evaluation flow (:2846+).
+hit-count/method tags, expansion details, algorithm-contribution stats,
+timing — reference :466-1477), a cited-page viewer (reference :307-352
+renders PDF page images; here the indexed page text), a categorized
+question bank, and the evaluation-results analysis flow — run a batch
+through the pipeline, LLM-judge each answer, browse per-question
+score/reasoning plus aggregate stats (reference :2846+).
 
 Streamlit is not available in this image, so the app is a dependency-free
 ``http.server`` JSON API + a single-page HTML client.  All retrieval runs
@@ -20,6 +24,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
 
 from ..eval.judge import JudgeHarness
 from ..qa.processor import QuestionsProcessor
@@ -32,22 +37,29 @@ _PAGE = """<!DOCTYPE html>
  body { font-family: system-ui, "PingFang SC", sans-serif; margin: 0; display: flex; }
  #side { width: 320px; padding: 16px; background: #f5f6f8; height: 100vh;
          overflow-y: auto; box-sizing: border-box; }
- #main { flex: 1; padding: 24px; max-width: 900px; }
+ #main { flex: 1; padding: 24px; max-width: 980px; }
  label { display:block; margin: 10px 0 2px; font-size: 13px; color: #444; }
  select, input[type=number], input[type=text] { width: 100%; padding: 4px; }
  .row { display:flex; gap:8px; } .row > div { flex:1; }
  #q { width: 100%; padding: 10px; font-size: 16px; }
  button { margin-top: 10px; padding: 8px 18px; font-size: 15px; cursor: pointer; }
  .tabs { display:flex; gap:4px; margin-top: 18px; flex-wrap: wrap; }
- .tabs button { margin:0; padding: 6px 10px; font-size: 13px; }
- .tabs button.on { background:#2458d6; color:white; }
+ .tabs button, .modes button { margin:0; padding: 6px 10px; font-size: 13px; }
+ .tabs button.on, .modes button.on { background:#2458d6; color:white; }
  .panel { border:1px solid #ddd; padding:14px; margin-top:-1px; white-space:pre-wrap;
           font-size:14px; max-height: 60vh; overflow-y:auto; }
  .answer { font-size: 20px; margin: 16px 0; padding: 14px; background:#eef4ff;
            border-radius: 8px; }
  table { border-collapse: collapse; font-size: 13px; width:100%; }
- td, th { border:1px solid #ccc; padding:4px 6px; text-align:left; }
+ td, th { border:1px solid #ccc; padding:4px 6px; text-align:left; vertical-align:top; }
  .hist { color:#666; font-size:13px; margin:4px 0; }
+ .cat { font-weight:600; margin-top:8px; font-size:13px; }
+ .pageview { position:fixed; right:0; top:0; width:420px; height:100vh; background:#fff;
+             border-left:2px solid #2458d6; padding:16px; overflow-y:auto; box-sizing:border-box;
+             white-space:pre-wrap; font-size:13px; display:none; z-index:5; }
+ .score-ok { color:#0a7d32; font-weight:600; } .score-bad { color:#c0262d; font-weight:600; }
+ .modes { display:flex; gap:4px; margin-bottom:14px; }
+ textarea { width:100%; height:120px; font-size:13px; }
 </style>
 </head>
 <body>
@@ -81,33 +93,91 @@ _PAGE = """<!DOCTYPE html>
 </div>
 <div id="main">
  <h2>金盘科技年报问答 <small style="color:#888">TPU-native</small></h2>
- <div id="history"></div>
- <input id="q" placeholder="例如：2024年营业收入是多少？" />
- <button onclick="ask()">提问</button>
- <div id="answer"></div>
- <div class="tabs" id="tabs"></div>
- <div class="panel" id="panel"></div>
+ <div class="modes">
+  <button id="mode_qa" class="on" onclick="setMode('qa')">问答</button>
+  <button id="mode_eval" onclick="setMode('eval')">评估结果分析</button>
+ </div>
+ <div id="view_qa">
+  <div id="history"></div>
+  <input id="q" placeholder="例如：2024年营业收入是多少？" />
+  <button onclick="ask()">提问</button>
+  <div id="answer"></div>
+  <div class="tabs" id="tabs"></div>
+  <div class="panel" id="panel"></div>
+ </div>
+ <div id="view_eval" style="display:none">
+  <p style="font-size:13px;color:#555">每行一条：<code>问题 || 标准答案</code>。
+  运行后逐题走完整检索-问答流程并用 LLM 评审打分（生成 1.0/0.3/0.0 与理由）。</p>
+  <textarea id="eval_in">2024年营业收入是多少？ || 68.88亿元
+2023年净利润是多少？ || 5.02亿元</textarea>
+  <button onclick="runEval()">运行评估</button>
+  <div id="eval_stats"></div>
+  <div class="panel" id="eval_table" style="max-height:70vh"></div>
+ </div>
 </div>
+<div class="pageview" id="pageview" onclick="this.style.display='none'"></div>
 <script>
 let HISTORY = [], LAST = null;
 const TABS = [
- ["分析", r => r.step_by_step_analysis || ""],
- ["推理摘要", r => r.reasoning_summary || ""],
- ["引用页", r => JSON.stringify(r.references || [], null, 2)],
+ ["分析", r => esc(r.step_by_step_analysis || "")],
+ ["推理摘要", r => esc(r.reasoning_summary || "")],
+ ["引用页", r => refsTable(r.references || [])],
  ["召回chunks", r => chunksTable(r.all_retrieved_chunks || [])],
  ["初始召回", r => chunksTable(r.initial_retrieval_results || [])],
- ["查询扩展", r => JSON.stringify(r.expansion_texts || {}, null, 2)],
- ["提示词", r => JSON.stringify(r.prompt_info || {}, null, 2)],
- ["耗时", r => JSON.stringify(r.timing || {}, null, 2)],
+ ["算法贡献", r => contribView(r.algorithm_contribution)],
+ ["遍历详情", r => esc(JSON.stringify(r.retrieval_details || null, null, 2))],
+ ["查询扩展", r => esc(JSON.stringify(r.expansion_texts || {}, null, 2))],
+ ["提示词", r => esc(JSON.stringify(r.prompt_info || {}, null, 2))],
+ ["耗时", r => esc(JSON.stringify(r.timing || {}, null, 2))],
 ];
+function esc(s){const d=document.createElement('div');d.textContent=s;return d.innerHTML;}
+function pageLink(sha1, page) {
+  return `<a href="#" onclick="showPage('${esc(String(sha1))}',${+page});return false">${esc(String(page))}</a>`;
+}
+async function showPage(sha1, page) {
+  const r = await fetch(`/api/page?doc=${encodeURIComponent(sha1)}&page=${page}`);
+  const d = await r.json();
+  const pv = document.getElementById('pageview');
+  pv.innerHTML = `<h4>${esc(sha1)} · 第 ${page} 页 <small>(点击关闭)</small></h4>` +
+                 esc(d.text || d.error || '(无内容)');
+  pv.style.display = 'block';
+}
+function refsTable(refs) {
+  if (!refs.length) return "(空)";
+  let h = "<table><tr><th>文档</th><th>页码</th></tr>";
+  for (const r of refs) {
+    const sha = r.pdf_sha1 || r.source_sha1 || "";
+    h += `<tr><td>${esc(String(sha))}</td><td>${pageLink(sha, r.page_index ?? r.page)}</td></tr>`;
+  }
+  return h + "</table>";
+}
 function chunksTable(cs) {
   if (!cs.length) return "(空)";
   let h = "<table><tr><th>页</th><th>得分</th><th>命中</th><th>方法数</th><th>文本</th></tr>";
   for (const c of cs) {
     const score = (c.distance ?? c.vector_similarity ?? 0);
-    h += `<tr><td>${escapeHtml(String(c.page))}</td><td>${score.toFixed ? score.toFixed(3) : escapeHtml(String(score))}</td><td>${c.hit_count ?? ""}</td><td>${c.method_count ?? ""}</td><td>${escapeHtml((c.text || "").slice(0, 160))}</td></tr>`;
+    const sha = c.source_sha1 || "";
+    h += `<tr><td>${sha ? pageLink(sha, c.page) : esc(String(c.page))}</td><td>${score.toFixed ? score.toFixed(3) : esc(String(score))}</td><td>${c.hit_count ?? ""}</td><td>${c.method_count ?? ""}</td><td>${esc((c.text || "").slice(0, 160))}</td></tr>`;
   }
   return h + "</table>";
+}
+function contribView(ac) {
+  if (!ac) return "(仅 hybrid_expansion 方法提供)";
+  let h = `<b>Basic 召回:</b> ${ac.basic_retrieval_count} · ` +
+          `<b>SSG 新发现:</b> ${ac.ssg_new_chunks_count} · ` +
+          `<b>Triangulation 新发现:</b> ${ac.triangulation_new_chunks_count}<br>`;
+  for (const m of ["ssg", "triangulation"]) {
+    const st = ac[m + "_stats"] || {};
+    h += `<br><b>${m}</b>: 扩展 ${st.total_expanded ?? 0}，新增 ${st.new_only ?? 0}，已在Top50 ${st.in_basic_top50 ?? 0}`;
+  }
+  const rows = [...(ac.ssg_new_chunks||[]).map(c=>["SSG",c]), ...(ac.triangulation_new_chunks||[]).map(c=>["Tri",c])];
+  if (rows.length) {
+    h += "<br><br><table><tr><th>方法</th><th>chunk</th><th>页</th><th>文档</th></tr>";
+    for (const [m, c] of rows.slice(0, 50))
+      h += `<tr><td>${m}</td><td>${c.chunk_id}</td><td>${pageLink(c.source_sha1, c.page)}</td><td>${esc(c.source_sha1)}</td></tr>`;
+    h += "</table>";
+  }
+  return h;
 }
 function renderTabs() {
   const tabs = document.getElementById("tabs"); tabs.innerHTML = "";
@@ -116,18 +186,18 @@ function renderTabs() {
     b.textContent = name;
     b.onclick = () => { document.querySelectorAll('.tabs button').forEach(x => x.classList.remove('on'));
       b.classList.add('on');
-      const out = fn(LAST);
-      document.getElementById("panel").innerHTML = name.includes("chunks")||name.includes("召回") ? out : escapeHtml(out); };
+      document.getElementById("panel").innerHTML = fn(LAST); };
     tabs.appendChild(b);
   });
 }
-function escapeHtml(s){const d=document.createElement('div');d.textContent=s;return d.innerHTML;}
-async function ask() {
-  const q = document.getElementById("q").value.trim();
-  if (!q) return;
-  document.getElementById("answer").innerHTML = "<div class='answer'>⏳ 检索与生成中…</div>";
-  const cfg = {
-    question: q,
+function setMode(m) {
+  document.getElementById('view_qa').style.display = m === 'qa' ? '' : 'none';
+  document.getElementById('view_eval').style.display = m === 'eval' ? '' : 'none';
+  document.getElementById('mode_qa').classList.toggle('on', m === 'qa');
+  document.getElementById('mode_eval').classList.toggle('on', m === 'eval');
+}
+function cfgFromSidebar(extra) {
+  return Object.assign({
     method: document.getElementById("method").value,
     max_hops: +document.getElementById("max_hops").value,
     neighbor_k: +document.getElementById("neighbor_k").value,
@@ -138,36 +208,88 @@ async function ask() {
     top_n: +document.getElementById("top_n").value,
     expand_upstream: document.getElementById("expand_upstream").checked,
     years: document.getElementById("years").value.split(",").map(s=>parseInt(s)).filter(x=>!isNaN(x)),
+  }, extra || {});
+}
+async function ask() {
+  const q = document.getElementById("q").value.trim();
+  if (!q) return;
+  document.getElementById("answer").innerHTML = "<div class='answer'>⏳ 检索与生成中…</div>";
+  const cfg = cfgFromSidebar({
+    question: q,
     history: HISTORY.slice(-(+document.getElementById("history_n").value || 0)),
-  };
+  });
   const res = await fetch("/api/ask", {method:"POST", headers:{"Content-Type":"application/json"}, body: JSON.stringify(cfg)});
   const data = await res.json();
-  if (data.error) { document.getElementById("answer").innerHTML = `<div class='answer'>❌ ${escapeHtml(data.error)}</div>`; return; }
+  if (data.error) { document.getElementById("answer").innerHTML = `<div class='answer'>❌ ${esc(data.error)}</div>`; return; }
   LAST = data;
   HISTORY.push({question: q, answer: String(data.final_answer)});
-  document.getElementById("history").innerHTML = HISTORY.map(h=>`<div class='hist'>Q: ${escapeHtml(h.question)} → ${escapeHtml(h.answer)}</div>`).join("");
-  document.getElementById("answer").innerHTML = `<div class='answer'>${escapeHtml(String(data.final_answer))}</div>`;
+  document.getElementById("history").innerHTML = HISTORY.map(h=>`<div class='hist'>Q: ${esc(h.question)} → ${esc(h.answer)}</div>`).join("");
+  document.getElementById("answer").innerHTML = `<div class='answer'>${esc(String(data.final_answer))}</div>`;
   renderTabs();
   document.querySelector('.tabs button')?.click();
 }
+async function runEval() {
+  const lines = document.getElementById("eval_in").value.split("\\n").map(s=>s.trim()).filter(Boolean);
+  const records = lines.map(l => { const [q, a] = l.split("||").map(s=>s.trim()); return {question:q, standard_answer:a||""}; });
+  if (!records.length) return;
+  document.getElementById("eval_stats").innerHTML = "⏳ 运行 " + records.length + " 题…";
+  const res = await fetch("/api/eval_run", {method:"POST", headers:{"Content-Type":"application/json"},
+    body: JSON.stringify(cfgFromSidebar({records}))});
+  const data = await res.json();
+  if (data.error) { document.getElementById("eval_stats").innerHTML = "❌ " + esc(data.error); return; }
+  const st = data.statistics || {};
+  document.getElementById("eval_stats").innerHTML =
+    `<div class='answer'>平均得分 <b>${st.avg_score ?? "?"}</b> · 正确率 <b>${st.accuracy ?? "?"}</b> · 已评 ${st.total ?? data.records.length} 题</div>`;
+  let h = "<table><tr><th>问题</th><th>标准答案</th><th>系统回答</th><th>得分</th><th>评审理由</th></tr>";
+  for (const r of data.records) {
+    const ev = r.evaluation || {};
+    const cls = (ev.score ?? 0) >= 0.99 ? "score-ok" : ((ev.score ?? 0) > 0 ? "" : "score-bad");
+    h += `<tr><td>${esc(r.question)}</td><td>${esc(String(r.standard_answer))}</td><td>${esc(String(r.rag_answer ?? ""))}</td><td class='${cls}'>${ev.score ?? "-"}</td><td>${esc(String(ev.reasoning ?? r.error ?? ""))}</td></tr>`;
+  }
+  document.getElementById("eval_table").innerHTML = h + "</table>";
+}
 document.getElementById("q").addEventListener("keydown", e => { if (e.key === "Enter") ask(); });
 fetch("/api/bank").then(r=>r.json()).then(bank => {
-  document.getElementById("bank").innerHTML = bank.map(q=>`<div class='hist' style='cursor:pointer' onclick='document.getElementById("q").value=${JSON.stringify(q)}'>· ${escapeHtml(q)}</div>`).join("");
+  let h = "";
+  for (const [cat, qs] of Object.entries(bank)) {
+    h += `<div class='cat'>${esc(cat)}</div>`;
+    h += qs.map(q=>`<div class='hist' style='cursor:pointer' onclick='document.getElementById("q").value=${JSON.stringify(q)}'>· ${esc(q)}</div>`).join("");
+  }
+  document.getElementById("bank").innerHTML = h;
 });
 </script>
 </body>
 </html>"""
 
-DEFAULT_QUESTION_BANK = [
-    "2024年营业收入是多少？",
-    "2024年相比2023年营业收入增长了多少？",
-    "研发费用占营业收入的比例是多少？",
-    "公司主要产品有哪些？",
-    "海外市场收入占比如何？",
-    "2023年净利润是多少？",
-    "公司是否进行了现金分红？",
-    "资产负债率的变化趋势如何？",
-]
+# Categorized question bank (the reference ships a 127-question bank with
+# categories, app_jinpan_qa.py; its data files are not in the repo — this
+# is a representative bank over the same category taxonomy).
+DEFAULT_QUESTION_BANK: Dict[str, List[str]] = {
+    "财务数据": [
+        "2024年营业收入是多少？",
+        "2023年净利润是多少？",
+        "2024年相比2023年营业收入增长了多少？",
+        "经营活动现金流量净额是多少？",
+        "资产负债率的变化趋势如何？",
+    ],
+    "业务构成": [
+        "公司主要产品有哪些？",
+        "干式变压器业务的收入占比是多少？",
+        "储能业务的发展情况如何？",
+    ],
+    "研发与技术": [
+        "研发费用占营业收入的比例是多少？",
+        "公司有多少项专利？",
+    ],
+    "市场与客户": [
+        "海外市场收入占比如何？",
+        "前五大客户的销售占比是多少？",
+    ],
+    "公司治理": [
+        "公司是否进行了现金分红？",
+        "董事会有多少名独立董事？",
+    ],
+}
 
 
 class QAWebApp:
@@ -175,21 +297,65 @@ class QAWebApp:
         self,
         processor: QuestionsProcessor,
         default_company: str = "金盘科技",
-        question_bank: Optional[List[str]] = None,
+        question_bank: Optional[Dict[str, List[str]]] = None,
     ):
         self.processor = processor
         self.default_company = default_company
+        if isinstance(question_bank, list):  # back-compat: flat list
+            question_bank = {"问题库": question_bank}
         self.question_bank = question_bank or DEFAULT_QUESTION_BANK
         self._lock = threading.Lock()
+        # (sha1, page) → page text, for the cited-page viewer
+        meta = processor.engine.meta
+        self._page_text: Dict[tuple, str] = {}
+        for seg, (doc, page) in enumerate(meta.page_seg_info):
+            sha1 = meta.docs[doc].sha1
+            self._page_text[(sha1, int(page))] = meta.page_texts.get(seg, "")
+
+    def page(self, query: Dict[str, List[str]]) -> Dict:
+        """Page-text viewer: the reference renders PDF page images
+        (app_jinpan_qa.py:307-352, PyMuPDF); here the indexed page text —
+        same navigation contract (1-based page numbers)."""
+        sha1 = (query.get("doc") or [""])[0]
+        try:
+            pageno = int((query.get("page") or ["0"])[0])
+        except ValueError:
+            return {"error": "page must be an integer"}
+        text = self._page_text.get((sha1, pageno))
+        if text is None:
+            return {"error": f"no indexed page {pageno} in {sha1}"}
+        return {"doc": sha1, "page": pageno, "text": text}
 
     def evaluate(self, payload: Dict) -> Dict:
-        """LLM-judge a batch of QA records (the reference's 评估结果分析 tab,
-        reference app_jinpan_qa.py:2846+): POST records → judged + stats."""
+        """LLM-judge pre-answered records: POST {records: [{question,
+        standard_answer, rag_answer}]} → judged + stats."""
         records = payload.get("records", [])
         if not isinstance(records, list) or not records:
             return {"error": "records must be a non-empty list"}
         harness = JudgeHarness(self.processor.llm)
         return harness.judge_all(records)
+
+    def eval_run(self, payload: Dict) -> Dict:
+        """The full evaluation-analysis flow (reference app_jinpan_qa.py
+        :2846+): answer each question through the pipeline with the current
+        sidebar config, then LLM-judge against the standard answer."""
+        records = payload.get("records", [])
+        if not isinstance(records, list) or not records:
+            return {"error": "records must be a non-empty list"}
+        answered = []
+        for rec in records:
+            q = str(rec.get("question", "")).strip()
+            out = dict(rec)
+            if not q:
+                out["rag_answer"] = ""
+                out["error"] = "empty question"
+            else:
+                ans = self.ask({**payload, "question": q, "history": None})
+                out["rag_answer"] = str(ans.get("final_answer", ans.get("error", "")))
+                out["references"] = ans.get("references", [])
+            answered.append(out)
+        harness = JudgeHarness(self.processor.llm)
+        return harness.judge_all(answered)
 
     def ask(self, payload: Dict) -> Dict:
         question = payload.get("question", "").strip()
@@ -240,16 +406,24 @@ class QAWebApp:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path in ("/", "/index.html"):
+                parsed = urlparse(self.path)
+                if parsed.path in ("/", "/index.html"):
                     self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
-                elif self.path == "/api/bank":
+                elif parsed.path == "/api/bank":
                     self._send(200, json.dumps(app.question_bank, ensure_ascii=False).encode(),
                                "application/json")
+                elif parsed.path == "/api/page":
+                    body = json.dumps(app.page(parse_qs(parsed.query)), ensure_ascii=False)
+                    self._send(200, body.encode(), "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
 
             def do_POST(self):
-                routes = {"/api/ask": app.ask, "/api/eval": app.evaluate}
+                routes = {
+                    "/api/ask": app.ask,
+                    "/api/eval": app.evaluate,
+                    "/api/eval_run": app.eval_run,
+                }
                 handler = routes.get(self.path)
                 if handler is None:
                     self._send(404, b"{}", "application/json")

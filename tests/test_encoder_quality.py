@@ -1,0 +1,69 @@
+"""Encoder retrieval-quality harness (eval/encoder_quality.py).
+
+The production experiment runs on TPU via ``main.py eval-encoder``
+(results in docs/ENCODER_QUALITY.json); these tests pin the harness
+mechanics at toy scale: dataset determinism, leakage hygiene, metric math,
+and that supervised training actually moves the metric.
+"""
+
+import numpy as np
+
+from rag_challenge_2_tpu.eval.encoder_quality import (
+    METRICS,
+    QualityDataset,
+    build_dataset,
+    eval_bm25,
+    paraphrase_pairs,
+    retrieval_metrics,
+)
+
+
+def test_dataset_deterministic_and_leak_free():
+    a = build_dataset(seed=3)
+    b = build_dataset(seed=3)
+    assert a.chunk_texts == b.chunk_texts and a.queries == b.queries
+    # eval facts never overlap train facts
+    assert not set(a.eval_facts) & set(a.train_facts)
+    # every query has gold chunks and refers to the metric via an ALIAS
+    # (some aliases legitimately contain the metric name as a substring,
+    # e.g. 综合毛利率 ⊃ 毛利率 — quoting through an alias is fine)
+    for q, fi in zip(a.queries, a.gold_fact):
+        rows = a.gold_rows(fi)
+        assert rows
+        _, _, metric = a.fact_tuples[fi]
+        assert any(alias in q for alias in METRICS[metric][1])
+
+
+def test_supervised_pairs_stay_on_train_facts():
+    ds = build_dataset(seed=1)
+    rng = np.random.default_rng(0)
+    qs, ps = paraphrase_pairs(ds, 64, rng)
+    eval_chunks = {r for fi in ds.eval_facts for r in ds.gold_rows(fi)}
+    eval_texts = {ds.chunk_texts[r] for r in eval_chunks}
+    assert len(qs) == len(ps) == 64
+    assert not (set(ps) & eval_texts), "supervised passages must avoid eval facts"
+
+
+def test_retrieval_metrics_math():
+    ds = QualityDataset(
+        chunk_texts=["a", "b", "c", "d"],
+        fact_of_chunk=[0, 0, 1, -1],
+        train_facts=[], eval_facts=[0, 1],
+        queries=["q0", "q1"], gold_fact=[0, 1],
+        fact_tuples=[("c", 2020, "m"), ("c", 2020, "n")],
+    )
+    scores = np.array([
+        [0.9, 0.1, 0.5, 0.2],   # gold rows {0,1}: row0 at rank 1 → rr 1
+        [0.9, 0.8, 0.1, 0.7],   # gold {2} at rank 4 → outside top-2, rr 1/4
+    ])
+    m = retrieval_metrics(scores, ds, k=2)
+    assert m["hit@2"] == 0.5
+    assert abs(m["mrr"] - (1.0 + 0.25) / 2) < 1e-9
+
+
+def test_bm25_baseline_is_strong_on_lexical_overlap():
+    ds = build_dataset(seed=0)
+    m = eval_bm25(ds)
+    # company + year tokens overlap exactly — the lexical baseline must be
+    # credible or beating it means nothing
+    assert m["hit@10"] >= 0.8

@@ -34,7 +34,9 @@ def test_index_page_and_bank(webapp):
     html = urllib.request.urlopen(url + "/").read().decode()
     assert "金盘科技年报问答" in html and "hybrid_expansion" in html
     bank = json.loads(urllib.request.urlopen(url + "/api/bank").read())
-    assert isinstance(bank, list) and bank
+    assert isinstance(bank, dict) and bank
+    assert all(isinstance(v, list) and v for v in bank.values())
+    assert "财务数据" in bank
 
 
 def test_ask_endpoint_full_payload(webapp):
@@ -88,3 +90,34 @@ def _post_path(url, path, payload):
         headers={"Content-Type": "application/json"},
     )
     return json.loads(urllib.request.urlopen(req).read())
+
+
+def test_page_viewer_endpoint(webapp):
+    url, _ = webapp
+    # a page that exists in the tiny corpus (doc J2023_doc0, page 1)
+    out = json.loads(urllib.request.urlopen(
+        url + "/api/page?doc=J2023_doc0&page=1").read())
+    assert out["page"] == 1 and "page1" in out["text"]
+    missing = json.loads(urllib.request.urlopen(
+        url + "/api/page?doc=J2023_doc0&page=99").read())
+    assert "error" in missing
+    bad = json.loads(urllib.request.urlopen(
+        url + "/api/page?doc=x&page=abc").read())
+    assert "error" in bad
+
+
+def test_eval_run_endpoint(webapp):
+    """The evaluation-analysis flow: answer through the pipeline, judge,
+    aggregate (reference app_jinpan_qa.py:2846+)."""
+    url, provider = webapp
+    provider.scripted["标准答案"] = json.dumps(
+        {"score": 1.0, "reasoning": "数值一致", "is_correct": True}, ensure_ascii=False)
+    out = _post_path(url, "/api/eval_run", {
+        "records": [{"question": "2023年营业收入是多少", "standard_answer": "68.9"}],
+        "method": "basic", "top_n": 5,
+    })
+    assert out["statistics"]["total"] == 1
+    rec = out["records"][0]
+    assert rec["rag_answer"] == "68.9"
+    assert rec["evaluation"]["is_correct"] is True
+    assert rec["references"], "answered records carry citations"
