@@ -86,6 +86,202 @@ class PlainTextParser:
                 json.dump(report, f, ensure_ascii=False, indent=2)
 
 
+# --------------------------------------------------------------------------
+# Docling-dict → parsed-report assembly (contract of reference
+# src/pdf_parsing.py:364-651 JsonReportProcessor).  Module-level and driven
+# purely by docling's ``export_to_dict`` structure so it is testable from a
+# captured fixture JSON without docling installed.
+
+def _process_text_reference(ref_num: int, data: Dict) -> Dict:
+    """Text block with identity + provenance fields
+    (reference src/pdf_parsing.py:439-468)."""
+    text_item = data["texts"][ref_num]
+    item = {
+        "text": text_item.get("text", ""),
+        "type": text_item.get("label", "text"),
+        "text_id": ref_num,
+    }
+    orig = text_item.get("orig", "")
+    if orig != text_item.get("text", ""):
+        item["orig"] = orig
+    for key in ("enumerated", "marker"):
+        if key in text_item:
+            item[key] = text_item[key]
+    return item
+
+
+def _expand_groups(body_children: List, groups: List) -> List:
+    """Inline group members with their group identity
+    (reference src/pdf_parsing.py:411-437)."""
+    out = []
+    for item in body_children:
+        ref = item.get("$ref") if isinstance(item, dict) else None
+        if ref:
+            ref_type, ref_num = ref.split("/")[-2:]
+            if ref_type == "groups":
+                group = groups[int(ref_num)]
+                for child in group.get("children", []):
+                    c = dict(child)
+                    c["group_id"] = int(ref_num)
+                    c["group_name"] = group.get("name", "")
+                    c["group_label"] = group.get("label", "")
+                    out.append(c)
+                continue
+        out.append(item)
+    return out
+
+
+def _bbox_list(prov: Dict) -> List:
+    b = prov.get("bbox", {})
+    return [b.get("l"), b.get("t"), b.get("r"), b.get("b")] if b else []
+
+
+def _table_to_md(table_data: Dict) -> str:
+    """Grid cells → github markdown (reference src/pdf_parsing.py:586-608)."""
+    from tabulate import tabulate
+
+    grid = table_data.get("data", {}).get("grid", [])
+    rows = [[cell.get("text", "") for cell in row] for row in grid]
+    if len(rows) > 1 and rows[0]:
+        try:
+            return tabulate(rows[1:], headers=rows[0], tablefmt="github")
+        except ValueError:
+            return tabulate(rows[1:], headers=rows[0], tablefmt="github",
+                            disable_numparse=True)
+    return tabulate(rows, tablefmt="github")
+
+
+def _table_to_html(table_data: Dict) -> str:
+    """Grid cells → HTML with row/col spans (role of docling's
+    ``export_to_html`` — the table-serialization LLM stage consumes this,
+    reference src/tables_serialization.py:106-134)."""
+    grid = table_data.get("data", {}).get("grid", [])
+    seen = set()
+    rows_html = []
+    for r, row in enumerate(grid):
+        cells = []
+        for c, cell in enumerate(row):
+            key = (cell.get("start_row_offset_idx", r), cell.get("start_col_offset_idx", c))
+            if key in seen:
+                continue  # continuation of a spanned cell
+            seen.add(key)
+            rs = cell.get("row_span", 1)
+            cs = cell.get("col_span", 1)
+            tag = "th" if cell.get("column_header") or cell.get("row_header") else "td"
+            attrs = (f" rowspan=\"{rs}\"" if rs > 1 else "") + (
+                f" colspan=\"{cs}\"" if cs > 1 else "")
+            text = (cell.get("text", "")
+                    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
+            cells.append(f"<{tag}{attrs}>{text}</{tag}>")
+        rows_html.append("<tr>" + "".join(cells) + "</tr>")
+    return "<table>" + "".join(rows_html) + "</table>"
+
+
+def assemble_report(data: Dict, sha1_name: str, metadata=None) -> Dict:
+    """Docling ``export_to_dict`` → the parsed-report contract, preserving
+    body order, group identity, table cell structure (markdown + HTML +
+    grid JSON + bbox + shape), pictures with their text children, and page
+    dimensions (reference JsonReportProcessor, src/pdf_parsing.py:369-651)."""
+    texts = data.get("texts", [])
+    raw_tables = data.get("tables", [])
+    raw_pictures = data.get("pictures", [])
+
+    metainfo = _metainfo_for(sha1_name, metadata)
+    metainfo.update({
+        "pages_amount": len(data.get("pages", [])),
+        "text_blocks_amount": len(texts),
+        "tables_amount": len(raw_tables),
+        "pictures_amount": len(raw_pictures),
+        "equations_amount": len(data.get("equations", [])),
+        "footnotes_amount": len([t for t in texts if t.get("label") == "footnote"]),
+    })
+
+    pages: Dict[int, Dict] = {}
+
+    def page_for(prov: Dict) -> Dict:
+        pno = prov.get("page_no", 1)
+        if pno not in pages:
+            pages[pno] = {
+                "page": pno,
+                "content": [],
+                "page_dimensions": prov.get("bbox", {}),
+            }
+        return pages[pno]
+
+    body = _expand_groups(data.get("body", {}).get("children", []),
+                          data.get("groups", []))
+    for item in body:
+        ref = item.get("$ref") if isinstance(item, dict) else None
+        if not ref:
+            continue
+        ref_type, ref_num = ref.split("/")[-2:]
+        ref_num = int(ref_num)
+        if ref_type == "texts":
+            text_item = texts[ref_num]
+            content = _process_text_reference(ref_num, data)
+            for key in ("group_id", "group_name", "group_label"):
+                if key in item:
+                    content[key] = item[key]
+            if text_item.get("prov"):
+                page_for(text_item["prov"][0])["content"].append(content)
+        elif ref_type == "tables":
+            tbl = raw_tables[ref_num]
+            if tbl.get("prov"):
+                page_for(tbl["prov"][0])["content"].append(
+                    {"type": "table", "table_id": ref_num}
+                )
+        elif ref_type == "pictures":
+            pic = raw_pictures[ref_num]
+            if pic.get("prov"):
+                page_for(pic["prov"][0])["content"].append(
+                    {"type": "picture", "picture_id": ref_num}
+                )
+
+    tables = []
+    for tbl in raw_tables:
+        prov = (tbl.get("prov") or [{}])[0]
+        ref_num = int(tbl.get("self_ref", "#/tables/0").split("/")[-1])
+        tdata = tbl.get("data", {})
+        tables.append({
+            "table_id": ref_num,
+            "page": prov.get("page_no", 1),
+            "bbox": _bbox_list(prov),
+            "#-rows": tdata.get("num_rows", len(tdata.get("grid", []))),
+            "#-cols": tdata.get("num_cols",
+                                len(tdata.get("grid", [[]])[0]) if tdata.get("grid") else 0),
+            "markdown": _table_to_md(tbl),
+            "html": _table_to_html(tbl),
+            "json": tdata,
+        })
+
+    pictures = []
+    for pic in raw_pictures:
+        prov = (pic.get("prov") or [{}])[0]
+        ref_num = int(pic.get("self_ref", "#/pictures/0").split("/")[-1])
+        children = []
+        for child in pic.get("children", []):
+            ref = child.get("$ref") if isinstance(child, dict) else None
+            if ref:
+                ref_type, rn = ref.split("/")[-2:]
+                if ref_type == "texts":
+                    children.append(_process_text_reference(int(rn), data))
+        pictures.append({
+            "picture_id": ref_num,
+            "page": prov.get("page_no", 1),
+            "bbox": _bbox_list(prov),
+            "children": children,
+        })
+
+    return {
+        "metainfo": metainfo,
+        "content": normalize_page_sequence(
+            sorted(pages.values(), key=lambda p: p["page"])
+        ),
+        "tables": tables,
+        "pictures": pictures,
+    }
+
+
 def _docling_available() -> bool:
     try:
         import docling  # noqa: F401
@@ -165,36 +361,7 @@ class DoclingParser:
             list(ex.map(self.parse_and_export, chunks))
 
     def _assemble(self, data: Dict, sha1: str) -> Dict:
-        """Docling dict → parsed-report contract (flattened blocks per page,
-        tables with markdown/html) — role of reference JsonReportProcessor
-        :364-651."""
-        pages: Dict[int, Dict] = {}
-        for item in data.get("texts", []):
-            for prov in item.get("prov", []):
-                pno = prov.get("page_no", 1)
-                pages.setdefault(pno, {"page": pno, "content": [], "page_dimensions": {}})
-                pages[pno]["content"].append({
-                    "type": item.get("label", "text"),
-                    "text": item.get("text", ""),
-                })
-        tables = []
-        for ti, tbl in enumerate(data.get("tables", [])):
-            prov = (tbl.get("prov") or [{}])[0]
-            tables.append({
-                "table_id": ti,
-                "page": prov.get("page_no", 1),
-                "markdown": tbl.get("data", {}).get("markdown", ""),
-                "html": tbl.get("data", {}).get("html", ""),
-            })
-            pno = prov.get("page_no", 1)
-            pages.setdefault(pno, {"page": pno, "content": [], "page_dimensions": {}})
-            pages[pno]["content"].append({"type": "table", "table_id": ti, "text": ""})
-        return {
-            "metainfo": _metainfo_for(sha1, self.metadata),
-            "content": normalize_page_sequence(sorted(pages.values(), key=lambda p: p["page"])),
-            "tables": tables,
-            "pictures": [],
-        }
+        return assemble_report(data, sha1, self.metadata)
 
 
 def get_parser(output_dir: Path, metadata_path: Optional[Path] = None, kind: str = "auto"):

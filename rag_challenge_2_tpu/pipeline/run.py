@@ -150,7 +150,38 @@ class Pipeline:
 
     def create_vector_dbs(self) -> None:
         """Chunked reports → one on-device corpus index npz (dense + BM25
-        CSR in one artifact — the role of reference :186-202)."""
+        CSR in one artifact — the role of reference :186-202).
+
+        If no pretrained encoder params exist yet, the encoder is
+        ICT-pretrained on this corpus first (a production index built on
+        randomly initialized embeddings is a silent quality trap); disable
+        with ``RAGTPU_AUTO_PRETRAIN=0`` or tune steps via
+        ``RAGTPU_AUTO_PRETRAIN_STEPS``."""
+        import os
+
+        params_path = self.paths.databases_path / "encoder_params.npz"
+        if (
+            self._embedder is None
+            and not params_path.exists()
+            and os.environ.get("RAGTPU_AUTO_PRETRAIN", "1") != "0"
+        ):
+            from ..index.build import load_chunked_reports
+            from ..models.pretrain import (
+                PretrainConfig, pretrain_encoder, save_params,
+            )
+
+            texts = [
+                c["text"]
+                for r in load_chunked_reports(self.paths.documents_dir)
+                for c in r["content"]["chunks"]
+            ]
+            steps = int(os.environ.get("RAGTPU_AUTO_PRETRAIN_STEPS", "300"))
+            print(f"[encoder] no saved params — ICT-pretraining {steps} steps "
+                  f"on {len(texts)} chunks (RAGTPU_AUTO_PRETRAIN=0 to skip)")
+            model, _ = pretrain_encoder(
+                texts, pre_cfg=PretrainConfig(steps=steps)
+            )
+            save_params(model, params_path)
         CorpusIngestor(self.embedder, with_sparse=True).process_reports(
             self.paths.documents_dir, self.paths.index_path
         )

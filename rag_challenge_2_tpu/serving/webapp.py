@@ -381,17 +381,18 @@ class QAWebApp:
         )
         years = payload.get("years") or None
         history = payload.get("history") or None
-        with self._lock:  # one question at a time per engine instance
-            old = self.processor.config
-            self.processor.config = new_cfg
-            try:
-                answer = self.processor.get_answer_for_company(
-                    company, q, new_cfg.schema,
-                    conversation_history=history, selected_years=years,
-                )
-            finally:
-                self.processor.config = old
-        return answer
+        # per-request shallow copy: concurrent sessions never observe each
+        # other's config (the engine/index are shared and read-only; jax
+        # dispatch and the GIL make concurrent searches safe) — the
+        # reference likewise serves concurrent Streamlit sessions
+        import copy
+
+        proc = copy.copy(self.processor)
+        proc.config = new_cfg
+        return proc.get_answer_for_company(
+            company, q, new_cfg.schema,
+            conversation_history=history, selected_years=years,
+        )
 
     # -------------------------------------------------------------- server
     def make_server(self, host: str = "127.0.0.1", port: int = 8899) -> ThreadingHTTPServer:

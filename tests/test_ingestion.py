@@ -256,3 +256,91 @@ def test_incremental_add_reports(tmp_path, rng):
     assert m24.sum() == 3
     # sparse rebuilt over the full corpus
     assert float(idx2.sparse.chunk_len[4]) > 0
+
+
+def test_assemble_report_docling_fidelity():
+    """Captured-shape docling export dict → full-fidelity parsed report
+    (reference JsonReportProcessor, src/pdf_parsing.py:364-651) — verified
+    without docling installed."""
+    from rag_challenge_2_tpu.ingestion.pdf import assemble_report
+
+    bbox = {"l": 10.0, "t": 700.0, "r": 500.0, "b": 650.0}
+    data = {
+        "origin": {"filename": "J2024_demo.pdf"},
+        "pages": {"1": {}, "2": {}},
+        "body": {"children": [
+            {"$ref": "#/texts/0"},
+            {"$ref": "#/groups/0"},
+            {"$ref": "#/tables/0"},
+            {"$ref": "#/pictures/0"},
+            {"$ref": "#/texts/3"},
+        ]},
+        "groups": [
+            {"name": "list", "label": "list", "children": [
+                {"$ref": "#/texts/1"}, {"$ref": "#/texts/2"},
+            ]},
+        ],
+        "texts": [
+            {"label": "section_header", "text": "第一节 公司简介",
+             "orig": "第 一 节 公司简介", "prov": [{"page_no": 1, "bbox": bbox}]},
+            {"label": "list_item", "text": "项目一", "orig": "项目一",
+             "enumerated": True, "marker": "1.",
+             "prov": [{"page_no": 1, "bbox": bbox}]},
+            {"label": "list_item", "text": "项目二", "orig": "项目二",
+             "enumerated": True, "marker": "2.",
+             "prov": [{"page_no": 1, "bbox": bbox}]},
+            {"label": "footnote", "text": "注：口径说明", "orig": "注：口径说明",
+             "prov": [{"page_no": 2, "bbox": bbox}]},
+            {"label": "caption", "text": "图1 营收构成", "orig": "图1 营收构成",
+             "prov": [{"page_no": 2, "bbox": bbox}]},
+        ],
+        "tables": [
+            {"self_ref": "#/tables/0", "prov": [{"page_no": 2, "bbox": bbox}],
+             "data": {"num_rows": 2, "num_cols": 2, "grid": [
+                 [{"text": "指标", "column_header": True,
+                   "start_row_offset_idx": 0, "start_col_offset_idx": 0,
+                   "row_span": 1, "col_span": 2},
+                  {"text": "指标", "column_header": True,
+                   "start_row_offset_idx": 0, "start_col_offset_idx": 0,
+                   "row_span": 1, "col_span": 2}],
+                 [{"text": "营业收入", "start_row_offset_idx": 1,
+                   "start_col_offset_idx": 0, "row_span": 1, "col_span": 1},
+                  {"text": "68.88亿", "start_row_offset_idx": 1,
+                   "start_col_offset_idx": 1, "row_span": 1, "col_span": 1}],
+             ]}},
+        ],
+        "pictures": [
+            {"self_ref": "#/pictures/0", "prov": [{"page_no": 2, "bbox": bbox}],
+             "children": [{"$ref": "#/texts/4"}]},
+        ],
+    }
+    rep = assemble_report(data, "J2024_demo")
+
+    mi = rep["metainfo"]
+    assert mi["sha1_name"] == "J2024_demo"
+    assert mi["tables_amount"] == 1 and mi["pictures_amount"] == 1
+    assert mi["footnotes_amount"] == 1 and mi["text_blocks_amount"] == 5
+
+    p1, p2 = rep["content"][0], rep["content"][1]
+    assert p1["page_dimensions"] == bbox
+    # body order preserved: header, then the two grouped list items
+    assert [c["type"] for c in p1["content"]] == ["section_header", "list_item", "list_item"]
+    assert p1["content"][0]["orig"] == "第 一 节 公司简介"  # orig differs → kept
+    assert p1["content"][1]["group_label"] == "list"
+    assert p1["content"][1]["marker"] == "1." and p1["content"][1]["enumerated"]
+    assert p1["content"][0]["text_id"] == 0
+    # page 2: table ref, picture ref, then the footnote
+    assert [c["type"] for c in p2["content"]] == ["table", "picture", "footnote"]
+
+    t = rep["tables"][0]
+    assert t["#-rows"] == 2 and t["#-cols"] == 2
+    assert t["bbox"] == [10.0, 700.0, 500.0, 650.0]
+    assert "营业收入" in t["markdown"] and "68.88亿" in t["markdown"]
+    assert 'colspan="2"' in t["html"] and "<th" in t["html"]
+    assert t["html"].count("<td") == 2  # spanned header emitted once
+    assert t["json"]["grid"][1][1]["text"] == "68.88亿"
+
+    pic = rep["pictures"][0]
+    assert pic["picture_id"] == 0 and pic["page"] == 2
+    assert pic["children"][0]["text"] == "图1 营收构成"
+    assert pic["bbox"] == [10.0, 700.0, 500.0, 650.0]

@@ -101,3 +101,40 @@ def test_pipeline_with_ivf(data_root, rng):
     assert proc.engine.ivf is not None
     out = proc.get_answer_for_company("金盘科技", "2024年营业收入", "number")
     assert out["final_answer"] == 68.9
+
+
+def test_auto_pretrain_on_first_index_build(data_root, rng, monkeypatch):
+    """With no embedder injected and no saved params, the index build
+    ICT-pretrains the encoder first instead of silently indexing with
+    random embeddings (quality-trap guard)."""
+    import rag_challenge_2_tpu.models.pretrain as pretrain_mod
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel, EncoderConfig
+
+    calls = {}
+
+    def fake_pretrain(texts, enc_cfg=None, pre_cfg=None, **kw):
+        calls["n_texts"] = len(texts)
+        calls["steps"] = pre_cfg.steps
+        return EmbeddingModel(EncoderConfig()), {"final": {}}
+
+    monkeypatch.setattr(pretrain_mod, "pretrain_encoder", fake_pretrain)
+    monkeypatch.setenv("RAGTPU_AUTO_PRETRAIN_STEPS", "7")
+    cfg = RunConfig(api_provider="stub", answering_model="stub", config_suffix="_auto")
+    p = Pipeline(data_root, cfg)  # NOTE: no embedder injected
+    p.parse_pdf_reports()
+    p.merge_reports()
+    p.export_reports_to_markdown()
+    p.chunk_reports()
+    p.create_vector_dbs()
+    assert calls["steps"] == 7 and calls["n_texts"] > 0
+    assert (p.paths.databases_path / "encoder_params.npz").exists()
+    assert p.paths.index_path.exists()
+
+    # opt-out honored
+    monkeypatch.setenv("RAGTPU_AUTO_PRETRAIN", "0")
+    calls.clear()
+    (p.paths.databases_path / "encoder_params.npz").unlink()
+    p2 = Pipeline(data_root, RunConfig(api_provider="stub", answering_model="stub",
+                                       config_suffix="_auto2"))
+    p2.create_vector_dbs()
+    assert not calls, "auto-pretrain must respect RAGTPU_AUTO_PRETRAIN=0"
