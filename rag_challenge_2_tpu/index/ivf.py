@@ -30,10 +30,11 @@ from ..ops.topk import NEG_INF
 @dataclasses.dataclass
 class IVFIndex:
     centroids: jax.Array     # f32 [K, D]
-    emb_perm: jax.Array      # f32 [N_pad, D] — rows grouped by cluster
+    emb_perm: jax.Array      # f32|bf16|int8 [N_pad, D] — rows grouped by cluster
     row_ids: jax.Array       # i32 [N_pad] — permuted position → corpus row (-1 pad)
     pos_cluster: jax.Array   # i32 [N_pad] — cluster id per permuted position (K pad)
     list_offsets: jax.Array  # i32 [K + 1]
+    row_scale: Optional[jax.Array] = None  # f32 [N_pad] when emb_perm is int8
     k_clusters: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_list: int = dataclasses.field(metadata=dict(static=True), default=0)
     dim: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -143,6 +144,18 @@ def build_ivf(
     )
 
 
+def quantize_ivf(index: IVFIndex) -> IVFIndex:
+    """int8 variant of a built IVF index: quarter the row-store memory
+    (equal-memory headroom under BASELINE.md's bar) AND quarter the probe's
+    gather bytes.  The probe keeps the dot in int8×int8→int32 and
+    dequantizes per candidate (ops/quant.py) — unlike the bf16 variant,
+    nothing upcasts the gathered ``[B, W, D]`` block."""
+    from ..ops.quant import quantize_rows
+
+    emb_i8, scale = quantize_rows(index.emb_perm)
+    return dataclasses.replace(index, emb_perm=emb_i8, row_scale=scale)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "window"))
 def ivf_search(
     index: IVFIndex,
@@ -162,6 +175,11 @@ def ivf_search(
     B, D = q.shape
     W = int(window or max(index.max_list, 1))
     qf = q.astype(jnp.float32)
+    int8_store = index.emb_perm.dtype == jnp.int8
+    if int8_store:
+        from ..ops.quant import quantize_rows
+
+        q_i8, q_scale = quantize_rows(qf)
 
     coarse = jnp.dot(qf, index.centroids.T, preferred_element_type=jnp.float32)
     if mask is not None:
@@ -195,10 +213,21 @@ def ivf_search(
         pos = jnp.clip(pos, 0, index.emb_perm.shape[0] - 1)
         cand_rows = index.row_ids[pos]               # [B, W]
         cand_vecs = index.emb_perm[pos]              # [B, W, D]
-        scores = jnp.einsum(
-            "bd,bwd->bw", qf, cand_vecs.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if int8_store:
+            acc = jnp.einsum(
+                "bd,bwd->bw", q_i8, cand_vecs,
+                preferred_element_type=jnp.int32,
+            )
+            scores = (
+                acc.astype(jnp.float32)
+                * q_scale[:, None]
+                * index.row_scale[pos]
+            )
+        else:
+            scores = jnp.einsum(
+                "bd,bwd->bw", qf, cand_vecs.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         ok = in_list & (cand_rows >= 0)
         if mask is not None:
             safe = jnp.maximum(cand_rows, 0)

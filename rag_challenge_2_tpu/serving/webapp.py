@@ -83,7 +83,12 @@ _PAGE = """<!DOCTYPE html>
   <div><label>召回样本</label><input id="sample" type="number" value="30"></div>
   <div><label>top N</label><input id="top_n" type="number" value="10"></div>
  </div>
- <label><input type="checkbox" id="expand_upstream"> 上游页面组扩充</label>
+ <label><input type="checkbox" id="expand_upstream" onchange="tokenEstimate()"> 上游页面组扩充</label>
+ <div class="row">
+  <div><label>核心页面数</label><input id="expand_top_k" type="number" value="5" min="3" max="10" onchange="tokenEstimate()"></div>
+  <div><label>上下扩充页数</label><input id="expand_ctx" type="number" value="1" min="1" max="3" onchange="tokenEstimate()"></div>
+ </div>
+ <div id="token_est" style="font-size:12px;margin:4px 0"></div>
  <label>数据年份 (逗号分隔, 空=全部)</label>
  <input id="years" type="text" placeholder="2023,2024">
  <label>多轮对话窗口</label>
@@ -196,6 +201,18 @@ function setMode(m) {
   document.getElementById('mode_qa').classList.toggle('on', m === 'qa');
   document.getElementById('mode_eval').classList.toggle('on', m === 'eval');
 }
+function tokenEstimate() {
+  // Reference app_jinpan_qa.py:1801-1808: pages = K*(2*ctx+1), ~800
+  // tokens/page, warn >15k, alarm >25k.
+  const el = document.getElementById("token_est");
+  if (!document.getElementById("expand_upstream").checked) { el.innerHTML = ""; return; }
+  const k = +document.getElementById("expand_top_k").value || 5;
+  const c = +document.getElementById("expand_ctx").value || 1;
+  const pages = k * (2 * c + 1), tokens = pages * 800;
+  const [icon, color] = tokens > 25000 ? ["🚨", "#c0262d"] :
+                        tokens > 15000 ? ["⚠️", "#9a6b00"] : ["✅", "#0a7d32"];
+  el.innerHTML = `<span style="color:${color}">${icon} 预计 ${pages} 页上下文 · Token 预估 ${tokens.toLocaleString()}</span>`;
+}
 function cfgFromSidebar(extra) {
   return Object.assign({
     method: document.getElementById("method").value,
@@ -207,6 +224,8 @@ function cfgFromSidebar(extra) {
     sample_size: +document.getElementById("sample").value,
     top_n: +document.getElementById("top_n").value,
     expand_upstream: document.getElementById("expand_upstream").checked,
+    expand_top_k: +document.getElementById("expand_top_k").value,
+    expand_context_size: +document.getElementById("expand_ctx").value,
     years: document.getElementById("years").value.split(",").map(s=>parseInt(s)).filter(x=>!isNaN(x)),
   }, extra || {});
 }
@@ -378,6 +397,10 @@ class QAWebApp:
             llm_reranking_sample_size=int(payload.get("sample_size", cfg.llm_reranking_sample_size)),
             top_n_retrieval=int(payload.get("top_n", cfg.top_n_retrieval)),
             expand_upstream=bool(payload.get("expand_upstream", cfg.expand_upstream)),
+            expand_top_k=int(payload.get("expand_top_k", cfg.expand_top_k)),
+            expand_context_size=int(
+                payload.get("expand_context_size", cfg.expand_context_size)
+            ),
         )
         years = payload.get("years") or None
         history = payload.get("history") or None

@@ -121,3 +121,17 @@ def test_eval_run_endpoint(webapp):
     assert rec["rag_answer"] == "68.9"
     assert rec["evaluation"]["is_correct"] is True
     assert rec["references"], "answered records carry citations"
+
+
+def test_ask_expansion_config_passthrough(webapp):
+    """expand_top_k / expand_context_size reach the processor config, and
+    the sidebar carries the token estimator (reference app_jinpan_qa.py
+    :1801-1808)."""
+    url, _ = webapp
+    out = _post(url, {"question": "2023年营业收入是多少", "method": "basic",
+                      "expand_upstream": False, "expand_top_k": 7,
+                      "expand_context_size": 2, "top_n": 5})
+    assert "error" not in out
+    html = urllib.request.urlopen(url + "/").read().decode()
+    assert "expand_top_k" in html and "tokenEstimate" in html
+    assert "Token 预估" in html
