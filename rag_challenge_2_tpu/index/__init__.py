@@ -1,4 +1,4 @@
 from .build import build_corpus_index, infer_doc_year, load_chunked_reports
 from .ivf import IVFIndex, build_ivf, ivf_search
 from .schema import CorpusIndex, CorpusMeta, DocMeta, SparseIndex
-from .store import load_index, save_index
+from .store import load_index, quantize_index, save_index

@@ -69,7 +69,7 @@ class SparseIndex:
 class CorpusIndex:
     """The whole searchable corpus as one pytree of device arrays."""
 
-    emb: jax.Array         # f32|bf16 [N_pad, D] — chunk embeddings, zero-padded rows
+    emb: jax.Array         # f32|bf16|int8 [N_pad, D] — chunk embeddings, zero-padded rows
     doc_id: jax.Array      # i32 [N_pad]
     page: jax.Array        # i32 [N_pad]  (1-based page numbers, as in the reference JSON)
     year: jax.Array        # i32 [N_pad]
@@ -79,6 +79,7 @@ class CorpusIndex:
     chunk_in_doc: jax.Array  # i32 [N_pad] — chunk index within its document
     valid: jax.Array       # bool [N_pad]
     sparse: Optional[SparseIndex]
+    emb_scale: Optional[jax.Array] = None  # f32 [N_pad] when emb is int8 (ops/quant.py)
     n_chunks: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_pages: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_docs: int = dataclasses.field(metadata=dict(static=True), default=0)

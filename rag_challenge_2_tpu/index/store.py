@@ -39,6 +39,8 @@ def save_index(path: Path, idx: CorpusIndex, meta: Optional[CorpusMeta] = None) 
         "chunk_in_doc": np.asarray(idx.chunk_in_doc),
         "valid": np.asarray(idx.valid),
     }
+    if idx.emb_scale is not None:
+        arrays["emb_scale"] = np.asarray(idx.emb_scale)
     statics = {
         "version": _FORMAT_VERSION,
         "n_chunks": idx.n_chunks,
@@ -73,6 +75,18 @@ def save_index(path: Path, idx: CorpusIndex, meta: Optional[CorpusMeta] = None) 
         }
         with open(str(path) + ".meta.json", "w", encoding="utf-8") as f:
             json.dump(side, f, ensure_ascii=False)
+
+
+def quantize_index(idx: CorpusIndex) -> CorpusIndex:
+    """int8 variant of a built corpus index: quarter the row-store memory
+    so one chip holds 4× the corpus at the same HBM budget (BASELINE.md
+    "equal memory"; measured recall/QPS trade in bench.py).  The engine
+    dispatches on ``emb.dtype`` — searches, traversal, and BM25 fusion all
+    work unchanged."""
+    from ..ops.quant import quantize_rows
+
+    emb_i8, scale = quantize_rows(idx.emb)
+    return dataclasses.replace(idx, emb=emb_i8, emb_scale=scale)
 
 
 def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Optional[CorpusMeta]]:
@@ -114,6 +128,7 @@ def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Option
         chunk_in_doc=jnp.asarray(z["chunk_in_doc"]),
         valid=jnp.asarray(z["valid"]),
         sparse=sparse,
+        emb_scale=jnp.asarray(z["emb_scale"]) if "emb_scale" in z.files else None,
         n_chunks=statics["n_chunks"],
         n_pages=statics["n_pages"],
         n_docs=statics["n_docs"],

@@ -51,23 +51,33 @@ def dense_topk(
     k: int,
     mask: Optional[jax.Array] = None,
     impl: str = "auto",
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k inner products of each query row against all embedding rows.
 
     Args:
         q: ``[B, D]`` queries (f32 or bf16).
-        emb: ``[N, D]`` corpus embeddings.
+        emb: ``[N, D]`` corpus embeddings (f32/bf16, or int8 with
+            ``row_scale``).
         k: number of neighbours (static).
         mask: optional ``[N]`` or ``[B, N]`` bool — False rows are excluded
             (year/company routing, visited sets, padding).
         impl: "xla", "pallas", or "auto" (pallas on TPU when N is large
             enough to benefit).
+        row_scale: ``[N]`` f32 dequantization scales, required iff ``emb``
+            is int8 (ops/quant.py store).
 
     Returns:
         ``(values [B, k] f32, indices [B, k] i32)`` sorted descending.
     """
     n = emb.shape[0]
     k = min(k, n)
+    if emb.dtype == jnp.int8:
+        if row_scale is None:
+            raise ValueError("int8 emb requires row_scale (see ops/quant.py)")
+        from .quant import int8_topk
+
+        return int8_topk(q, emb, row_scale, k, mask)
     if impl == "auto":
         # Measured on v5e (500k-2M x 1024): XLA's fused matmul+top_k beats
         # both Pallas variants (grid and manual-DMA streaming) at every

@@ -34,20 +34,34 @@ def shard_vec(x: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
 
 
-def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data"):
-    """Build the jitted distributed top-k: (q, emb, mask) → (vals, rows).
+def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data", int8: bool = False):
+    """Build the jitted distributed top-k: (q, emb, mask[, scale]) → (vals, rows).
 
     q: [B, D] replicated; emb: [N, D] row-sharded; mask: [N] row-sharded.
+    With ``int8=True``, emb is an int8 store and a row-sharded [N] f32
+    ``row_scale`` is the extra trailing argument (ops/quant.py) — each chip
+    then holds 4× the rows at the same HBM budget.
     Returns replicated ([B, k], [B, k]) with global row indices.
     """
     n_shards = mesh.shape[axis]
 
-    def local(q, emb_l, mask_l):
+    def local(q, emb_l, mask_l, *rest):
         rows_per_shard = emb_l.shape[0]
-        scores = jnp.dot(
-            q, emb_l.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if int8:
+            from ..ops.quant import quantize_rows
+
+            (scale_l,) = rest
+            q_i8, q_scale = quantize_rows(q.astype(jnp.float32))
+            acc = jax.lax.dot_general(
+                q_i8, emb_l, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores = acc.astype(jnp.float32) * q_scale[:, None] * scale_l[None, :]
+        else:
+            scores = jnp.dot(
+                q, emb_l.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         scores = jnp.where(mask_l[None, :], scores, NEG_INF)
         k_l = min(k, rows_per_shard)
         vals, idx = jax.lax.top_k(scores, k_l)
@@ -67,10 +81,13 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data"):
         mi = jnp.take_along_axis(ai, midx, axis=1)
         return mv, mi
 
+    in_specs = (P(None, None), P(axis, None), P(axis))
+    if int8:
+        in_specs = in_specs + (P(axis),)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None), P(axis, None), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -84,8 +101,14 @@ def sharded_dense_topk(
     mesh: Mesh,
     mask: Optional[jax.Array] = None,
     axis: str = "data",
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Convenience wrapper: shard, search, return ([B,k] vals, [B,k] rows)."""
+    """Convenience wrapper: shard, search, return ([B,k] vals, [B,k] rows).
+
+    Pass ``row_scale`` with an int8 ``emb`` (ops/quant.py store)."""
+    int8 = emb.dtype == jnp.int8
+    if int8 and row_scale is None:
+        raise ValueError("int8 emb requires row_scale (see ops/quant.py)")
     n = emb.shape[0]
     s = mesh.shape[axis]
     pad = (-n) % s
@@ -94,8 +117,13 @@ def sharded_dense_topk(
         mask = jnp.pad(
             mask if mask is not None else jnp.ones((n,), bool), (0, pad)
         )
+        if int8:
+            row_scale = jnp.pad(row_scale, (0, pad))
     elif mask is None:
         mask = jnp.ones((n,), bool)
     emb = shard_rows(emb, mesh, axis)
     mask = shard_vec(mask, mesh, axis)
-    return make_sharded_topk(mesh, k, axis)(q, emb, mask)
+    args = (q, emb, mask)
+    if int8:
+        args = args + (shard_vec(row_scale, mesh, axis),)
+    return make_sharded_topk(mesh, k, axis, int8=int8)(*args)

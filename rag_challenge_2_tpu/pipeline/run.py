@@ -60,6 +60,8 @@ class RunConfig:
     answer_schema: str = "jingpan"
     use_ivf: bool = False           # cluster the corpus at load, probe-search
     ivf_nprobe: int = 8
+    quantize_int8: bool = False     # int8 row store at load: 4× corpus per
+                                    # HBM byte (index/store.quantize_index)
 
 
 class Pipeline:
@@ -198,6 +200,10 @@ class Pipeline:
     def build_processor(self) -> QuestionsProcessor:
         idx, meta = load_index(self.paths.index_path)
         rc = self.run_config
+        if rc.quantize_int8:
+            from ..index.store import quantize_index
+
+            idx = quantize_index(idx)
         qa_cfg = QAConfig(
             schema=rc.answer_schema,
             use_hyde=rc.use_hyde,

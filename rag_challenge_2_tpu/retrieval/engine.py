@@ -122,7 +122,10 @@ def search_device(
                 ivf, q_pair, k, nprobe=cfg.ivf_nprobe, mask=pair_mask
             )
         else:
-            vals, rows = dense_topk(q_pair, emb, k, mask=pair_mask, impl="xla")
+            vals, rows = dense_topk(
+                q_pair, emb, k, mask=pair_mask, impl="xla",
+                row_scale=index.emb_scale,
+            )
         ok = vals > NEG_INF / 2
         sims = jnp.where(ok, vals, 0.0)
         qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
@@ -135,13 +138,15 @@ def search_device(
 
     elif cfg.method in ("ssg", "triangulation"):
         # anchor = top-1 per (query, doc) (reference src/retrieval.py:1164-1169)
-        a_vals, a_rows = dense_topk(q_pair, emb, 1, mask=pair_mask, impl="xla")
+        a_vals, a_rows = dense_topk(
+            q_pair, emb, 1, mask=pair_mask, impl="xla", row_scale=index.emb_scale
+        )
         anchor = jnp.where(a_vals[:, 0] > NEG_INF / 2, a_rows[:, 0], -1)
         res = traverse(
-            emb, anchor, q_pair, pair_mask,
+            emb, anchor, q_pair, pair_mask, index.emb_scale,
             max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=cfg.method,
         )
-        rows, sims = emit_hits(emb, q_pair, res)
+        rows, sims = emit_hits(emb, q_pair, res, index.emb_scale)
         qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
         mids = jnp.full(rows.shape, METHOD_IDS[cfg.method], jnp.int32)
         blocks.append((rows, sims, qids, mids, res.valid))
@@ -160,10 +165,10 @@ def search_device(
             qv = jnp.repeat(q_pair, n_anchors, axis=0)
             pm = jnp.repeat(pair_mask, n_anchors, axis=0)
             res = traverse(
-                emb, anchors, qv, pm,
+                emb, anchors, qv, pm, index.emb_scale,
                 max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=mode,
             )
-            r, s = emit_hits(emb, qv, res)
+            r, s = emit_hits(emb, qv, res, index.emb_scale)
             qq = jnp.repeat(qid_pair, n_anchors)
             qids_e = jnp.broadcast_to(qq[:, None], r.shape)
             mids_e = jnp.full(r.shape, METHOD_IDS[mode], jnp.int32)

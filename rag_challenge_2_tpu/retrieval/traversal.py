@@ -30,7 +30,7 @@ Exact semantic match to the reference:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,12 +55,28 @@ class TraversalResult(NamedTuple):
 CAND_RECORD = 10  # candidates kept per hop (reference src/retrieval.py:665)
 
 
-def _hop_candidates(cur_vec, emb, mask, path, neighbor_k):
+def _gather_vecs(emb, row_scale, idx):
+    """Dequantizing row gather: f32 vectors whatever the store dtype."""
+    v = emb[idx].astype(jnp.float32)
+    if row_scale is not None:
+        v = v * row_scale[idx][..., None]
+    return v
+
+
+def _hop_candidates(cur_vec, emb, row_scale, mask, path, neighbor_k):
     """Top-(k+1) neighbours of the current vectors, with visited flags."""
-    scores = jnp.einsum(
-        "ad,nd->an", cur_vec, emb, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if row_scale is not None:
+        # int8 store: XLA fuses the int8→f32 convert into the matmul's
+        # operand read; the per-row dequant is a rank-1 epilogue
+        scores = jnp.einsum(
+            "ad,nd->an", cur_vec, emb.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * row_scale[None, :]
+    else:
+        scores = jnp.einsum(
+            "ad,nd->an", cur_vec, emb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     scores = _mask_scores(scores, mask)
     vals, ids = jax.lax.top_k(scores, neighbor_k + 1)          # [A, k+1]
     visited = jnp.any(path[:, :, None] == ids[:, None, :], axis=1)
@@ -75,6 +91,7 @@ def traverse(
     anchor_idx: jax.Array,
     query_vec: jax.Array,
     mask: jax.Array,
+    row_scale: Optional[jax.Array] = None,
     *,
     max_hops: int = 4,
     neighbor_k: int = 30,
@@ -99,7 +116,7 @@ def traverse(
     path = jnp.full((A, H + 1), -1, jnp.int32)
     path = path.at[:, 0].set(anchor_idx)
     active0 = anchor_idx >= 0
-    anchor_vec = emb[jnp.maximum(anchor_idx, 0)].astype(jnp.float32)
+    anchor_vec = _gather_vecs(emb, row_scale, jnp.maximum(anchor_idx, 0))
     anchor_q_sim = jnp.einsum("ad,ad->a", query_vec.astype(jnp.float32), anchor_vec)
     hop_score = jnp.zeros((A, H + 1), jnp.float32)
     hop_score = hop_score.at[:, 0].set(
@@ -115,14 +132,16 @@ def traverse(
 
     def body(hop, state):
         path, hop_score, cand_ids, cand_scores, cur_idx, cur_vec, prev_sim, active = state
-        vals, ids, visited = _hop_candidates(cur_vec, emb, mask, path, neighbor_k)
+        vals, ids, visited = _hop_candidates(
+            cur_vec, emb, row_scale, mask, path, neighbor_k
+        )
         cand_ok = (~visited) & (vals > NEG_INF / 2)
 
         if mode == "ssg":
             # step score = chunk-to-chunk similarity == the search score itself
             step_score = vals
         else:
-            cand_vec = emb[jnp.maximum(ids, 0)].astype(jnp.float32)  # [A, k+1, D]
+            cand_vec = _gather_vecs(emb, row_scale, jnp.maximum(ids, 0))  # [A, k+1, D]
             centroid = (query_vec[:, None, :].astype(jnp.float32)
                         + cur_vec[:, None, :] + cand_vec) / 3.0
             dist = jnp.linalg.norm(centroid - query_vec[:, None, :], axis=-1)
@@ -152,7 +171,7 @@ def traverse(
         cand_scores = cand_scores.at[:, hop, :].set(jnp.where(rec_ok, r_vals, 0.0))
 
         new_vec = jnp.where(
-            step[:, None], emb[jnp.maximum(new_idx, 0)].astype(jnp.float32), cur_vec
+            step[:, None], _gather_vecs(emb, row_scale, jnp.maximum(new_idx, 0)), cur_vec
         )
         prev_sim = jnp.where(step, best_score, prev_sim)
         return path, hop_score, cand_ids, cand_scores, new_idx, new_vec, prev_sim, step
@@ -173,6 +192,7 @@ def emit_hits(
     emb: jax.Array,
     query_vec: jax.Array,
     res: TraversalResult,
+    row_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Re-score traversal paths as query·chunk similarities.
 
@@ -183,7 +203,7 @@ def emit_hits(
     Returns (rows [A, H+1] i32 with -1 for invalid, sims [A, H+1] f32).
     """
     rows = res.path
-    vecs = emb[jnp.maximum(rows, 0)].astype(jnp.float32)          # [A, H+1, D]
+    vecs = _gather_vecs(emb, row_scale, jnp.maximum(rows, 0))     # [A, H+1, D]
     sims = jnp.einsum("ad,ahd->ah", query_vec.astype(jnp.float32), vecs)
     sims = jnp.where(res.valid, sims, 0.0)
     return rows, sims

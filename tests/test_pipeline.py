@@ -138,3 +138,30 @@ def test_auto_pretrain_on_first_index_build(data_root, rng, monkeypatch):
                                        config_suffix="_auto2"))
     p2.create_vector_dbs()
     assert not calls, "auto-pretrain must respect RAGTPU_AUTO_PRETRAIN=0"
+
+
+def test_pipeline_quantize_int8_processor(tmp_path, rng):
+    """quantize_int8 preset flag: the processor serves from an int8 index."""
+    import dataclasses
+    import shutil
+
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.pipeline import Pipeline, configs
+
+    root = tmp_path / "set"
+    shutil.copytree("data/test_set", root)
+    cfg = dataclasses.replace(configs["offline"], quantize_int8=True)
+    import os
+    os.environ["RAGTPU_AUTO_PRETRAIN"] = "0"
+    try:
+        pipe = Pipeline(root, cfg)
+        pipe.parse_pdf_reports()
+        pipe.process_parsed_reports()
+        proc = pipe.build_processor()
+        assert proc.engine.index.emb.dtype == jnp.int8
+        assert proc.engine.index.emb_scale is not None
+        ans = proc.get_answer_for_company("金盘科技", "金盘科技2024年营业收入是多少？", "number")
+        assert ans["references"], "int8-served answers still carry citations"
+    finally:
+        os.environ.pop("RAGTPU_AUTO_PRETRAIN", None)

@@ -115,3 +115,48 @@ def test_ivf_int8_probe_recall(rng, nprobe):
                            mask=jnp.asarray(mask))
     got = np.asarray(rows_m)
     assert np.all((got < 4096) | (got == -1))
+
+
+def test_engine_search_int8_index(tiny_corpus):
+    """The full engine graph runs on a quantized CorpusIndex: basic + BM25
+    fusion + traversal all dispatch on emb.dtype."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.store import quantize_index
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+
+    idx, meta, reports, embs = tiny_corpus
+    idx8 = quantize_index(idx)
+    assert idx8.emb.dtype == jnp.int8 and idx8.emb_scale is not None
+
+    eng = QueryEngine(idx, meta)
+    eng8 = QueryEngine(idx8, meta)
+    q = np.asarray(embs[0][:1])
+    for method in ("basic", "hybrid_expansion"):
+        cfg = SearchConfig(method=method, top_n=5, top_k=8, max_hops=2,
+                           neighbor_k=4, use_bm25=(method == "basic"))
+        r_f = eng.materialize(eng.search(q, "金盘科技", "营业收入2023年",
+                                         cfg=cfg, query_texts=["营业收入"]), cfg)
+        r_8 = eng8.materialize(eng8.search(q, "金盘科技", "营业收入2023年",
+                                           cfg=cfg, query_texts=["营业收入"]), cfg)
+        top_f = {c["rep_row"] for c in r_f[:5]}
+        top_8 = {c["rep_row"] for c in r_8[:5]}
+        assert len(top_f & top_8) >= 4, (method, top_f, top_8)
+
+
+def test_index_int8_save_load_roundtrip(tiny_corpus, tmp_path):
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index import load_index, save_index
+    from rag_challenge_2_tpu.index.store import quantize_index
+
+    idx, meta, _, _ = tiny_corpus
+    idx8 = quantize_index(idx)
+    p = tmp_path / "ix8.npz"
+    save_index(p, idx8, meta)
+    idx2, meta2 = load_index(p)
+    assert idx2.emb.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(idx2.emb), np.asarray(idx8.emb))
+    np.testing.assert_allclose(np.asarray(idx2.emb_scale),
+                               np.asarray(idx8.emb_scale), rtol=1e-6)

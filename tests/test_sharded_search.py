@@ -83,3 +83,22 @@ def test_engine_search_with_row_sharded_index(tiny_corpus, rng):
     assert [r["rep_row"] for r in got] == [r["rep_row"] for r in base]
     for a, b in zip(got, base):
         assert abs(a["distance"] - b["distance"]) < 1e-4
+
+
+@needs_devices
+def test_sharded_int8_matches_single_device():
+    """int8 shards: same distributed merge, 4x rows per HBM byte."""
+    from rag_challenge_2_tpu.ops.quant import int8_topk, quantize_rows
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1000, 64)).astype("float32")
+    x /= (x ** 2).sum(1, keepdims=True) ** 0.5
+    q = rng.normal(size=(4, 64)).astype("float32")
+    q /= (q ** 2).sum(1, keepdims=True) ** 0.5
+    emb8, sc = quantize_rows(jnp.asarray(x))
+
+    mesh = make_mesh({"data": 8})
+    vs, rs = sharded_dense_topk(jnp.asarray(q), emb8, 10, mesh, row_scale=sc)
+    v1, r1 = int8_topk(jnp.asarray(q), emb8, sc, 10)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(v1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rs), np.asarray(r1))
