@@ -122,12 +122,24 @@ class Encoder(nn.Module):
 
 
 def tokenize_batch(
-    texts, max_len: int, vocab_bits: int
+    texts, max_len: int, vocab_bits: int, bucket_len: bool = False
 ) -> np.ndarray:
-    """Host-side: texts → padded i32 [B, max_len] hashed-token batch."""
-    out = np.full((len(texts), max_len), -1, np.int32)
-    for i, t in enumerate(texts):
-        ids = tok.token_ids(t, vocab_bits)[:max_len]
+    """Host-side: texts → padded i32 [B, L] hashed-token batch.
+
+    ``bucket_len=True`` pads L to the next power of two ≥ the batch's
+    longest text (min 32, cap max_len) instead of always max_len: a
+    300-token chunk corpus then runs 256-wide attention instead of
+    512-wide — ~2× the FLOPs saved, log-many compiled shapes."""
+    id_lists = [tok.token_ids(t, vocab_bits)[:max_len] for t in texts]
+    L = max_len
+    if bucket_len:
+        longest = max((len(x) for x in id_lists), default=1)
+        L = 32
+        while L < longest:
+            L *= 2
+        L = min(L, max_len)
+    out = np.full((len(texts), L), -1, np.int32)
+    for i, ids in enumerate(id_lists):
         out[i, : len(ids)] = ids
     return out
 
@@ -163,12 +175,19 @@ class EmbeddingModel:
         return min(b, batch_size)
 
     def embed(self, texts, batch_size: int = 256) -> np.ndarray:
-        outs = []
+        # dispatch every batch before pulling any result: device compute
+        # overlaps host tokenization of the next batch, and the per-call
+        # dispatch round-trip (the dominant cost through the axon relay)
+        # is paid once per *pipeline*, not once per batch
+        pending = []
         for s in range(0, len(texts), batch_size):
             chunk = texts[s : s + batch_size]
-            ids = tokenize_batch(chunk, self.cfg.max_len, self.cfg.vocab_bits)
+            ids = tokenize_batch(
+                chunk, self.cfg.max_len, self.cfg.vocab_bits, bucket_len=True
+            )
             bucket = self._bucket(len(chunk), batch_size)
             if len(chunk) < bucket:
                 ids = np.pad(ids, ((0, bucket - len(chunk)), (0, 0)), constant_values=-1)
-            outs.append(np.asarray(self.embed_tokens(jnp.asarray(ids)))[: len(chunk)])
+            pending.append((self.embed_tokens(jnp.asarray(ids)), len(chunk)))
+        outs = [np.asarray(o)[:n] for o, n in pending]
         return np.concatenate(outs) if outs else np.zeros((0, self.cfg.out_dim), np.float32)

@@ -194,3 +194,20 @@ def test_moe_aux_loss_reaches_objective():
     loss1, m1 = contrastive_loss(params, apply_fn, q, q, 0.05, moe_aux_weight=1.0)
     assert float(m1["moe_aux"]) > 0, "aux term must be collected"
     assert float(loss1) > float(loss0), "aux term must enter the objective"
+
+
+def test_length_bucketing_preserves_embeddings():
+    """embed() buckets sequence length to the batch's longest text (pow2,
+    min 32, cap max_len); the pooled embedding must match full-max_len
+    padding (pad positions are masked out of attention and pooling)."""
+    texts = ["营业收入", "金盘科技2024年报"]
+    # bucketing math: 11 tokens → L = 32, not the 512 cap
+    ids_bkt = tokenize_batch(texts, 512, 10, bucket_len=True)
+    assert ids_bkt.shape[1] == 32
+    # model-level invariance through the public path (embed() buckets):
+    # same embeddings as explicit full-max_len token batches
+    m = EmbeddingModel(SMALL)
+    e_full = np.asarray(m.embed_tokens(
+        jnp.asarray(tokenize_batch(texts, 32, 10, bucket_len=False))))
+    out = m.embed(texts)
+    np.testing.assert_allclose(out, e_full, atol=2e-2)
