@@ -421,6 +421,94 @@ def bench_int8_10m(extras, N=10_000_000, D=1024, C=500_000):
 NEG_INF_F = -3.0e38
 
 
+def bench_traversal(extras):
+    """Graph-traversal methods at the val-set shape: batched on-device hop
+    loops (retrieval/traversal.py) vs the reference's sequential per-hop
+    faiss search+reconstruct (reference src/retrieval.py:585-806),
+    reproduced faithfully as a numpy loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.schema import CorpusIndex
+    from rag_challenge_2_tpu.retrieval.engine import SearchConfig, search_device
+
+    rng = np.random.default_rng(0)
+    N_DOCS, CPD, D, NQ = 6, 1700, 1024, 127
+    N = N_DOCS * CPD
+    MAX_HOPS, NEIGHBOR_K = 4, 30
+    emb = rng.normal(size=(N, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    doc_of_row = np.repeat(np.arange(N_DOCS), CPD)
+    q = rng.normal(size=(NQ, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q_year = rng.integers(0, N_DOCS, size=NQ)
+
+    def cpu_ssg_one(qv, rows):
+        sub = emb[rows]
+        path = [int(np.argmax(sub @ qv))]
+        cur, prev = path[0], 1.0
+        for _ in range(MAX_HOPS):
+            s = sub @ sub[cur]                      # reconstruct + search
+            cand = [c for c in np.argsort(-s)[: NEIGHBOR_K + 1] if c not in path]
+            if not cand:
+                break
+            best = max(cand, key=lambda c: s[c])
+            if s[best] <= prev:
+                break
+            prev, cur = float(s[best]), int(best)
+            path.append(cur)
+        return path
+
+    t0 = time.perf_counter()
+    for i in range(NQ):
+        for d in (q_year[i] - 1, q_year[i], q_year[i] + 1):
+            if 0 <= d < N_DOCS:
+                cpu_ssg_one(q[i], np.nonzero(doc_of_row == d)[0])
+    cpu_qps = NQ / (time.perf_counter() - t0)
+    extras["traversal_cpu_ssg_qps"] = round(cpu_qps, 1)
+    log(f"cpu sequential ssg: {cpu_qps:.1f} qps")
+
+    rows_j = jnp.arange(N, dtype=jnp.int32)
+    doc_id = jnp.asarray(doc_of_row.astype(np.int32))
+    idx = CorpusIndex(
+        emb=jnp.asarray(emb), doc_id=doc_id, page=rows_j % 100 + 1,
+        year=2020 + doc_id, company_id=jnp.zeros((N,), jnp.int32),
+        kind=jnp.zeros((N,), jnp.int32), page_seg=rows_j // 4,
+        chunk_in_doc=rows_j % CPD, valid=jnp.ones((N,), bool),
+        sparse=None, n_chunks=N, n_pages=N // 4, n_docs=N_DOCS, dim=D,
+    )
+    Q_BATCH, M = 8, 6
+    dm = jnp.asarray(np.stack([doc_of_row == d for d in range(N_DOCS)]))
+    qv_valid = jnp.ones((Q_BATCH,), bool)
+    dv = jnp.ones((M,), bool)
+    reps = 16
+    batches = [
+        jnp.asarray(q[(r * Q_BATCH) % (NQ - Q_BATCH):][:Q_BATCH])
+        for r in range(reps)
+    ]
+    sync(batches[-1])
+    for method in ("ssg", "hybrid_expansion"):
+        cfg = SearchConfig(
+            method=method, top_k=50 if method == "hybrid_expansion" else 30,
+            max_queries=Q_BATCH, max_docs=M, top_n=30,
+            max_hops=MAX_HOPS, neighbor_k=NEIGHBOR_K,
+        )
+        out, _ = search_device(idx, batches[0], qv_valid, dm, dv, cfg)
+        sync(out.score)
+
+        def window():
+            o = None
+            for r in range(reps):
+                o, _ = search_device(idx, batches[r], qv_valid, dm, dv, cfg)
+            return o.score
+
+        qps = best_qps(lambda: window(), Q_BATCH * reps, reps=1)
+        extras[f"traversal_{method}_qps"] = round(qps, 1)
+        log(f"device {method}: {qps:.1f} qps ({qps / cpu_qps:.0f}x cpu ssg; "
+            f"hybrid runs 30 traversals per (q,doc) pair — the cpu loop "
+            f"equivalent is ~{cpu_qps / 30:.0f} qps)")
+
+
 def bench_encoder(extras):
     """BASELINE config 4 witness: on-device corpus-embedding throughput of
     the production-size encoder (the reference rents this from the Qwen
@@ -546,6 +634,7 @@ def main():
         ("ivf_1m", bench_ivf_1m),
         ("hybrid", bench_hybrid_at_scale),
         ("int8_10m", bench_int8_10m),
+        ("traversal", bench_traversal),
         ("encoder", bench_encoder),
     ]
     for name, fn in sections:
