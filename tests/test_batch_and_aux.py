@@ -136,3 +136,29 @@ def test_similarity_matrix_and_stats(tiny_corpus, tmp_path):
     assert (tmp_path / f"similarity_{meta.docs[0].sha1}.npz").exists()
     with pytest.raises(ValueError):
         similarity_matrix(idx, 99)
+
+
+def test_similarity_heatmap_written_without_plotly(tiny_corpus, tmp_path):
+    """The visual artifact must exist even with no plotting library
+    (reference ships Plotly heatmaps; ours falls back to standalone HTML)."""
+    from rag_challenge_2_tpu.eval.similarity import analyze_document
+
+    idx, meta, *_ = tiny_corpus
+    stats = analyze_document(idx, meta, 0, output_dir=tmp_path)
+    html = tmp_path / f"similarity_{meta.docs[0].sha1}.html"
+    assert stats["heatmap"] == str(html)
+    body = html.read_text(encoding="utf-8")
+    assert "<canvas" in body or "plotly" in body.lower()
+    assert meta.docs[0].sha1 in body or "Heatmap" in body
+
+
+def test_canvas_heatmap_downsamples_large_matrices(tmp_path):
+    from rag_challenge_2_tpu.eval.similarity import _write_canvas_heatmap
+
+    rng = np.random.default_rng(0)
+    M = rng.uniform(-1, 1, size=(700, 700)).astype(np.float32)
+    out = tmp_path / "hm.html"
+    _write_canvas_heatmap(M, out, "t", max_cells=256)
+    body = out.read_text(encoding="utf-8")
+    assert "N=256" in body.replace(" ", "")
+    assert len(body) < 400_000  # 8-bit + base64, not raw floats
