@@ -481,6 +481,11 @@ def bench_traversal(extras):
     dm = jnp.asarray(np.stack([doc_of_row == d for d in range(N_DOCS)]))
     qv_valid = jnp.ones((Q_BATCH,), bool)
     dv = jnp.ones((M,), bool)
+    # doc-windowed traversal (docs are contiguous row ranges here, as in
+    # every index/build corpus): hops scan ~CPD rows instead of N
+    ws = jnp.arange(N_DOCS, dtype=jnp.int32) * CPD
+    wl = jnp.full((N_DOCS,), CPD, jnp.int32)
+    window = -(-CPD // 128) * 128
     reps = 16
     batches = [
         jnp.asarray(q[(r * Q_BATCH) % (NQ - Q_BATCH):][:Q_BATCH])
@@ -493,16 +498,18 @@ def bench_traversal(extras):
             max_queries=Q_BATCH, max_docs=M, top_n=30,
             max_hops=MAX_HOPS, neighbor_k=NEIGHBOR_K,
         )
-        out, _ = search_device(idx, batches[0], qv_valid, dm, dv, cfg)
+        out, _ = search_device(idx, batches[0], qv_valid, dm, dv, cfg,
+                               win_start=ws, win_len=wl, window=window)
         sync(out.score)
 
-        def window():
+        def run_window():
             o = None
             for r in range(reps):
-                o, _ = search_device(idx, batches[r], qv_valid, dm, dv, cfg)
+                o, _ = search_device(idx, batches[r], qv_valid, dm, dv, cfg,
+                                     win_start=ws, win_len=wl, window=window)
             return o.score
 
-        qps = best_qps(lambda: window(), Q_BATCH * reps, reps=1)
+        qps = best_qps(lambda: run_window(), Q_BATCH * reps, reps=1)
         extras[f"traversal_{method}_qps"] = round(qps, 1)
         log(f"device {method}: {qps:.1f} qps ({qps / cpu_qps:.0f}x cpu ssg; "
             f"hybrid runs 30 traversals per (q,doc) pair — the cpu loop "

@@ -33,7 +33,7 @@ from ..index.schema import CorpusIndex, CorpusMeta
 from ..ops.aggregate import FusedCandidates, fuse_hits
 from ..ops.topk import NEG_INF, dense_topk
 from .routing import route_mask
-from .traversal import emit_hits, traverse
+from .traversal import emit_hits, traverse, traverse_windowed
 
 METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}
 
@@ -78,7 +78,7 @@ def _flatten_hits(rows, sims, qids, mids, valid):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "window"))
 def search_device(
     index: CorpusIndex,
     q: jax.Array,          # [Q, D] padded query embeddings
@@ -89,6 +89,9 @@ def search_device(
     q_terms: Optional[jax.Array] = None,  # [Q, T] hashed term ids (use_bm25)
     ivf=None,                             # IVFIndex when cfg.use_ivf
     row_slot: Optional[jax.Array] = None,  # [N] doc-slot per row (use_bm25)
+    win_start: Optional[jax.Array] = None,  # [M] doc window starts (window>0)
+    win_len: Optional[jax.Array] = None,    # [M] doc window lengths
+    window: int = 0,       # static doc-window size; 0 = full-corpus hops
 ) -> Tuple[FusedCandidates, Dict]:
     """Full fan-out + aggregation for one question, on device.
 
@@ -97,11 +100,17 @@ def search_device(
     (traversal paths/candidates, basic-vs-expansion rows — reference
     src/retrieval.py:585-688 traversal_details, :1455-1470
     algorithm_specific_results).  Empty for ``method="basic"``.
+
+    When ``window > 0`` (documents stored as contiguous row ranges —
+    always true for `index.build` corpora), traversal hops run inside
+    per-document windows (`traversal.traverse_windowed`) instead of
+    masked full-corpus scans; results are bit-identical.
     """
     Q, D = q.shape
     M, N = doc_masks.shape
     emb = index.emb
     details: Dict = {}
+    use_window = window > 0 and win_start is not None and win_len is not None
 
     # (query, doc) anchor grid: A = Q*M
     pair_mask = doc_masks[None, :, :] & q_valid[:, None, None] & doc_valid[None, :, None]
@@ -136,22 +145,45 @@ def search_device(
         rows, sims, qids, mids, ok, _ = basic_block(cfg.top_k)
         blocks.append((rows, sims, qids, mids, ok))
 
-    elif cfg.method in ("ssg", "triangulation"):
+    def run_traverse(anchors_pm, n: int, mode: str):
+        """Traverse from ``[Q*M, n]`` global anchor rows (-1 = inactive).
+
+        Returns ``(res, qids [·], qv [·, D])`` whose leading order is
+        (m, q, n) on the windowed path and (q, m, n) otherwise — blocks
+        only feed order-insensitive fusion, so the order is free."""
+        if use_window:
+            a_g = anchors_pm.reshape(Q, M, n).transpose(1, 0, 2).reshape(M, Q * n)
+            qv_g = jnp.broadcast_to(
+                q.reshape(1, Q, 1, D), (M, Q, n, D)
+            ).reshape(M, Q * n, D)
+            res = traverse_windowed(
+                emb, a_g, qv_g, win_start, win_len, index.emb_scale,
+                window=window, max_hops=cfg.max_hops,
+                neighbor_k=cfg.neighbor_k, mode=mode,
+            )
+            qids = jnp.tile(jnp.repeat(jnp.arange(Q, dtype=jnp.int32), n), M)
+            return res, qids, qv_g.reshape(M * Q * n, D)
+        qv = jnp.repeat(q_pair, n, axis=0)
+        res = traverse(
+            emb, anchors_pm.reshape(-1), qv,
+            jnp.repeat(pair_mask, n, axis=0), index.emb_scale,
+            max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=mode,
+        )
+        return res, jnp.repeat(qid_pair, n), qv
+
+    if cfg.method in ("ssg", "triangulation"):
         # anchor = top-1 per (query, doc) (reference src/retrieval.py:1164-1169)
         a_vals, a_rows = dense_topk(
             q_pair, emb, 1, mask=pair_mask, impl="xla", row_scale=index.emb_scale
         )
         anchor = jnp.where(a_vals[:, 0] > NEG_INF / 2, a_rows[:, 0], -1)
-        res = traverse(
-            emb, anchor, q_pair, pair_mask, index.emb_scale,
-            max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=cfg.method,
-        )
-        rows, sims = emit_hits(emb, q_pair, res, index.emb_scale)
-        qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
+        res, qids_t, qv_flat = run_traverse(anchor[:, None], 1, cfg.method)
+        rows, sims = emit_hits(emb, qv_flat, res, index.emb_scale)
+        qids = jnp.broadcast_to(qids_t[:, None], rows.shape)
         mids = jnp.full(rows.shape, METHOD_IDS[cfg.method], jnp.int32)
         blocks.append((rows, sims, qids, mids, res.valid))
         details["trav"] = res
-        details["trav_qids"] = qid_pair
+        details["trav_qids"] = qids_t
 
     elif cfg.method == "hybrid_expansion":
         k = HYBRID_BASIC_K
@@ -161,15 +193,9 @@ def search_device(
         def expansion(mode: str, n_anchors: int):
             a_rows = rows[:, :n_anchors]                     # [Q*M, n_anchors]
             a_ok = ok[:, :n_anchors]
-            anchors = jnp.where(a_ok, a_rows, -1).reshape(-1)
-            qv = jnp.repeat(q_pair, n_anchors, axis=0)
-            pm = jnp.repeat(pair_mask, n_anchors, axis=0)
-            res = traverse(
-                emb, anchors, qv, pm, index.emb_scale,
-                max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=mode,
-            )
-            r, s = emit_hits(emb, qv, res, index.emb_scale)
-            qq = jnp.repeat(qid_pair, n_anchors)
+            anchors_pm = jnp.where(a_ok, a_rows, -1)
+            res, qq, qv_flat = run_traverse(anchors_pm, n_anchors, mode)
+            r, s = emit_hits(emb, qv_flat, res, index.emb_scale)
             qids_e = jnp.broadcast_to(qq[:, None], r.shape)
             mids_e = jnp.full(r.shape, METHOD_IDS[mode], jnp.int32)
             return (r, s, qids_e, mids_e, res.valid), res
@@ -183,7 +209,7 @@ def search_device(
         details["basic_sims"] = sims
         details["ssg"] = ssg_res
         details["tri"] = tri_res
-    else:
+    elif cfg.method != "basic":
         raise ValueError(f"unknown method {cfg.method!r}")
 
     if cfg.use_bm25 and q_terms is not None and index.sparse is not None:
@@ -241,6 +267,24 @@ class QueryEngine:
         self.ivf = ivf  # optional IVFIndex (build_ivf) for use_ivf configs
         self._doc_ids_np = np.asarray(index.doc_id)
         self._mask_cache: Dict[tuple, tuple] = {}
+        # per-doc contiguous row ranges → traversal hops run doc-windowed
+        # (traverse_windowed); window=0 disables if any doc is fragmented
+        valid = np.asarray(index.valid)
+        self._doc_ranges: Dict[int, Tuple[int, int]] = {}
+        self.window = 0
+        longest = 0
+        for d in range(index.n_docs):
+            rows = np.nonzero(valid & (self._doc_ids_np == d))[0]
+            if rows.size == 0:
+                continue
+            if rows[-1] - rows[0] + 1 != rows.size:
+                self._doc_ranges = {}
+                longest = 0
+                break
+            self._doc_ranges[d] = (int(rows[0]), int(rows.size))
+            longest = max(longest, int(rows.size))
+        if longest:
+            self.window = min(-(-longest // 128) * 128, index.n_pad)
 
     def build_ivf(self, **kwargs):
         """Cluster the corpus for SearchConfig(use_ivf=True) queries.
@@ -295,12 +339,19 @@ class QueryEngine:
         # slot id per corpus row (max_docs = unrouted) — lets the BM25
         # top-k replace per-doc sorts with one (slot, score) sort
         slot = np.full((self.index.n_pad,), max_docs, np.int32)
+        ws = np.zeros((max_docs,), np.int32)
+        wl = np.zeros((max_docs,), np.int32)
         valid = np.asarray(self.index.valid)
         for i, d in enumerate(doc_ids):
             m[i] = valid & (self._doc_ids_np == d)
             slot[m[i]] = i
             v[i] = True
-        out = (jnp.asarray(m), jnp.asarray(v), jnp.asarray(slot))
+            if d in self._doc_ranges:
+                ws[i], wl[i] = self._doc_ranges[d]
+        out = (
+            jnp.asarray(m), jnp.asarray(v), jnp.asarray(slot),
+            jnp.asarray(ws), jnp.asarray(wl),
+        )
         self._mask_cache[key] = out  # routes are few; device masks are reused
         return out
 
@@ -322,7 +373,7 @@ class QueryEngine:
         doc_ids = self.routed_docs(company, question, selected_years)
         if not doc_ids:
             raise ValueError(f"No report found with '{company}' company name.")
-        dm, dv, row_slot = self.doc_masks(doc_ids, cfg.max_docs)
+        dm, dv, row_slot, ws, wl = self.doc_masks(doc_ids, cfg.max_docs)
         B = min(query_embs.shape[0], cfg.max_queries)
         q = np.zeros((cfg.max_queries, self.index.dim), np.float32)
         q[:B] = query_embs[:B]
@@ -340,6 +391,7 @@ class QueryEngine:
         cands, details = search_device(
             self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg, q_terms,
             self.ivf if cfg.use_ivf else None, row_slot,
+            ws, wl, window=self.window,
         )
         return (cands, details) if with_details else cands
 

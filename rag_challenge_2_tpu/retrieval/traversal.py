@@ -63,24 +63,33 @@ def _gather_vecs(emb, row_scale, idx):
     return v
 
 
-def _hop_candidates(cur_vec, emb, row_scale, mask, path, neighbor_k):
-    """Top-(k+1) neighbours of the current vectors, with visited flags."""
+def _hop_candidates(cur_vec, emb, row_scale, mask, path, neighbor_k,
+                    query_vec=None):
+    """Top-(k+1) neighbours of the current vectors, with visited flags.
+
+    When ``query_vec`` is given (triangulation), the query row rides the
+    same matmul as a stacked operand and the per-candidate ``q·x`` comes
+    back via ``take_along_axis`` — no ``[A, k+1, D]`` vector gather."""
+    lhs = cur_vec if query_vec is None else jnp.concatenate(
+        [cur_vec, query_vec.astype(jnp.float32)], axis=0
+    )
     if row_scale is not None:
         # int8 store: XLA fuses the int8→f32 convert into the matmul's
         # operand read; the per-row dequant is a rank-1 epilogue
         scores = jnp.einsum(
-            "ad,nd->an", cur_vec, emb.astype(jnp.float32),
+            "ad,nd->an", lhs, emb.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         ) * row_scale[None, :]
     else:
         scores = jnp.einsum(
-            "ad,nd->an", cur_vec, emb, preferred_element_type=jnp.float32,
+            "ad,nd->an", lhs, emb, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    scores = _mask_scores(scores, mask)
-    vals, ids = jax.lax.top_k(scores, neighbor_k + 1)          # [A, k+1]
+    A = cur_vec.shape[0]
+    vals, ids = jax.lax.top_k(_mask_scores(scores[:A], mask), neighbor_k + 1)
     visited = jnp.any(path[:, :, None] == ids[:, None, :], axis=1)
-    return vals, ids, visited
+    qx = None if query_vec is None else jnp.take_along_axis(scores[A:], ids, axis=1)
+    return vals, ids, visited, qx
 
 
 @functools.partial(
@@ -130,10 +139,27 @@ def traverse(
     cand_ids = jnp.full((A, H, R), -1, jnp.int32)
     cand_scores = jnp.zeros((A, H, R), jnp.float32)
 
+    if mode == "triangulation":
+        # triangulation's centroid distance expands algebraically:
+        #   ‖(q+c+x)/3 − q‖² = (‖x‖² + ‖c−2q‖² + 2·x·(c−2q)) / 9
+        # x·c is the hop matmul's own output, x·q rides the same matmul as
+        # a stacked row, and ‖x‖² is a corpus-constant — so the per-hop
+        # [A, k+1, D] candidate-vector gather + centroid arithmetic
+        # (the Tri path's dominant HBM traffic) disappears entirely.
+        if row_scale is not None:
+            row_n2 = jnp.sum(
+                emb.astype(jnp.float32) ** 2, axis=1
+            ) * row_scale * row_scale                                # [N]
+        else:
+            row_n2 = jnp.sum(emb.astype(jnp.float32) ** 2, axis=1)  # [N]
+        q_f = query_vec.astype(jnp.float32)
+        q_n2 = jnp.sum(q_f * q_f, axis=1)                            # [A]
+
     def body(hop, state):
         path, hop_score, cand_ids, cand_scores, cur_idx, cur_vec, prev_sim, active = state
-        vals, ids, visited = _hop_candidates(
-            cur_vec, emb, row_scale, mask, path, neighbor_k
+        vals, ids, visited, qx = _hop_candidates(
+            cur_vec, emb, row_scale, mask, path, neighbor_k,
+            query_vec=None if mode == "ssg" else query_vec,
         )
         cand_ok = (~visited) & (vals > NEG_INF / 2)
 
@@ -141,10 +167,11 @@ def traverse(
             # step score = chunk-to-chunk similarity == the search score itself
             step_score = vals
         else:
-            cand_vec = _gather_vecs(emb, row_scale, jnp.maximum(ids, 0))  # [A, k+1, D]
-            centroid = (query_vec[:, None, :].astype(jnp.float32)
-                        + cur_vec[:, None, :] + cand_vec) / 3.0
-            dist = jnp.linalg.norm(centroid - query_vec[:, None, :], axis=-1)
+            c_n2 = jnp.sum(cur_vec * cur_vec, axis=1)                # [A]
+            c_q = jnp.sum(cur_vec * q_f, axis=1)                     # [A]
+            const = c_n2 - 4.0 * c_q + 4.0 * q_n2                    # ‖c−2q‖²
+            dist2 = (row_n2[ids] + const[:, None] + 2.0 * vals - 4.0 * qx) / 9.0
+            dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
             step_score = 1.0 / (1.0 + dist)
 
         step_score = jnp.where(cand_ok, step_score, NEG_INF)
@@ -185,6 +212,182 @@ def traverse(
     return TraversalResult(
         path=path, valid=path >= 0, hop_score=hop_score,
         cand_ids=cand_ids, cand_scores=cand_scores,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "max_hops", "neighbor_k", "mode")
+)
+def traverse_windowed(
+    emb: jax.Array,
+    anchor_idx: jax.Array,
+    query_vec: jax.Array,
+    win_start: jax.Array,
+    win_len: jax.Array,
+    row_scale: Optional[jax.Array] = None,
+    *,
+    window: int,
+    max_hops: int = 4,
+    neighbor_k: int = 30,
+    mode: str = "ssg",
+) -> TraversalResult:
+    """`traverse` restricted to per-group document windows.
+
+    A traversal can only ever visit rows of its anchor's document (the
+    reference searches one per-document FAISS index per hop,
+    src/retrieval.py:585-806).  Documents are stored as contiguous row
+    ranges, so instead of scoring the current vectors against the WHOLE
+    corpus and masking (``traverse``), each group g slices its document's
+    rows ``emb[win_start[g] : win_start[g]+window]`` once and every hop
+    matmul + top-k runs inside that window — at the val-set shape (6 docs ×
+    ~1.7k chunks) this is ~6× fewer FLOPs and a ~6× smaller top-k domain
+    per hop.
+
+    Args:
+        emb: ``[N, D]`` corpus embeddings.
+        anchor_idx: ``[G, A]`` GLOBAL anchor rows, -1 = inactive.
+        query_vec: ``[G, A, D]`` query embedding per anchor.
+        win_start: ``[G]`` first corpus row of each group's document.
+        win_len: ``[G]`` number of document rows (≤ window).
+        window: static window size (max document length, padded).
+
+    Returns a TraversalResult over ``G*A`` anchors with GLOBAL row ids,
+    identical (paths, scores, candidate records) to ``traverse`` with the
+    equivalent ``[G*A, N]`` document masks.
+    """
+    assert mode in ("ssg", "triangulation")
+    G, A = anchor_idx.shape
+    N, D = emb.shape
+    H = max_hops
+    window = min(window, N)
+
+    # dynamic_slice clamps starts so the slice fits; recover the clamp as a
+    # per-group offset so local→global stays exact for tail documents
+    sa = jnp.minimum(win_start, N - window)                        # [G]
+    off = win_start - sa                                           # [G]
+    emb_w = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(emb, (s, jnp.int32(0)), (window, D))
+    )(sa)                                                          # [G, W, D]
+    scale_w = None
+    if row_scale is not None:
+        scale_w = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(row_scale, (s,), (window,))
+        )(sa)                                                      # [G, W]
+    pos = jnp.arange(window, dtype=jnp.int32)[None, :]             # [1, W]
+    win_mask = (pos >= off[:, None]) & (pos < (off + win_len)[:, None])  # [G, W]
+
+    def local_vecs(idx):
+        """[G, A'] local ids → dequantized f32 vectors [G, A', D]."""
+        safe = jnp.maximum(idx, 0)
+        v = jnp.take_along_axis(
+            emb_w, safe[:, :, None], axis=1
+        ).astype(jnp.float32)
+        if scale_w is not None:
+            v = v * jnp.take_along_axis(scale_w, safe, axis=1)[..., None]
+        return v
+
+    anchor_local = jnp.where(anchor_idx >= 0, anchor_idx - sa[:, None], -1)
+    active0 = anchor_local >= 0
+    anchor_vec = local_vecs(anchor_local)
+    q_f = query_vec.astype(jnp.float32)
+    anchor_q_sim = jnp.einsum("gad,gad->ga", q_f, anchor_vec)
+
+    path = jnp.full((G, A, H + 1), -1, jnp.int32)
+    path = path.at[:, :, 0].set(anchor_local)
+    hop_score = jnp.zeros((G, A, H + 1), jnp.float32)
+    hop_score = hop_score.at[:, :, 0].set(
+        jnp.where(active0, 1.0 if mode == "ssg" else anchor_q_sim, 0.0)
+    )
+    R = min(CAND_RECORD, neighbor_k + 1)
+    cand_ids = jnp.full((G, A, H, R), -1, jnp.int32)
+    cand_scores = jnp.zeros((G, A, H, R), jnp.float32)
+
+    if mode == "triangulation":
+        # same algebraic expansion as `traverse` (see comment there)
+        if scale_w is not None:
+            row_n2 = jnp.sum(
+                emb_w.astype(jnp.float32) ** 2, axis=2
+            ) * scale_w * scale_w                                  # [G, W]
+        else:
+            row_n2 = jnp.sum(emb_w.astype(jnp.float32) ** 2, axis=2)
+        q_n2 = jnp.sum(q_f * q_f, axis=2)                          # [G, A]
+
+    def hop_scores(cur_vec):
+        lhs = cur_vec if mode == "ssg" else jnp.concatenate([cur_vec, q_f], axis=1)
+        if scale_w is not None:
+            s = jnp.einsum(
+                "gad,gwd->gaw", lhs, emb_w.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * scale_w[:, None, :]
+        else:
+            s = jnp.einsum(
+                "gad,gwd->gaw", lhs, emb_w,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return s
+
+    def body(hop, state):
+        path, hop_score, cand_ids, cand_scores, cur_idx, cur_vec, prev_sim, active = state
+        s = hop_scores(cur_vec)
+        cs = jnp.where(win_mask[:, None, :], s[:, :A], NEG_INF)
+        vals, ids = jax.lax.top_k(cs, neighbor_k + 1)              # [G, A, k+1]
+        visited = jnp.any(path[:, :, :, None] == ids[:, :, None, :], axis=2)
+        cand_ok = (~visited) & (vals > NEG_INF / 2)
+
+        if mode == "ssg":
+            step_score = vals
+        else:
+            qx = jnp.take_along_axis(s[:, A:], ids, axis=2)
+            c_n2 = jnp.sum(cur_vec * cur_vec, axis=2)
+            c_q = jnp.sum(cur_vec * q_f, axis=2)
+            const = c_n2 - 4.0 * c_q + 4.0 * q_n2                  # [G, A]
+            xn2 = jnp.take_along_axis(
+                jnp.broadcast_to(row_n2[:, None, :], cs.shape), ids, axis=2
+            )
+            dist2 = (xn2 + const[:, :, None] + 2.0 * vals - 4.0 * qx) / 9.0
+            step_score = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(dist2, 0.0)))
+
+        step_score = jnp.where(cand_ok, step_score, NEG_INF)
+        best_j = jnp.argmax(step_score, axis=2)                    # [G, A]
+        best_score = jnp.take_along_axis(step_score, best_j[:, :, None], 2)[:, :, 0]
+        best_id = jnp.take_along_axis(ids, best_j[:, :, None], 2)[:, :, 0]
+        has_cand = jnp.any(cand_ok, axis=2)
+
+        step = active & has_cand
+        if mode == "ssg":
+            step = step & (best_score > prev_sim)
+
+        new_idx = jnp.where(step, best_id, cur_idx)
+        path = path.at[:, :, hop + 1].set(jnp.where(step, best_id, -1))
+        hop_score = hop_score.at[:, :, hop + 1].set(jnp.where(step, best_score, 0.0))
+
+        r_vals, r_j = jax.lax.top_k(step_score, R)
+        r_ids = jnp.take_along_axis(ids, r_j, axis=2)
+        rec_ok = step[:, :, None] & (r_vals > NEG_INF / 2)
+        cand_ids = cand_ids.at[:, :, hop, :].set(jnp.where(rec_ok, r_ids, -1))
+        cand_scores = cand_scores.at[:, :, hop, :].set(jnp.where(rec_ok, r_vals, 0.0))
+
+        new_vec = jnp.where(step[:, :, None], local_vecs(new_idx), cur_vec)
+        prev_sim = jnp.where(step, best_score, prev_sim)
+        return path, hop_score, cand_ids, cand_scores, new_idx, new_vec, prev_sim, step
+
+    prev_sim0 = jnp.where(active0, 1.0, NEG_INF)
+    state = (
+        path, hop_score, cand_ids, cand_scores,
+        jnp.maximum(anchor_local, 0), anchor_vec, prev_sim0, active0,
+    )
+    path, hop_score, cand_ids, cand_scores, *_ = jax.lax.fori_loop(0, H, body, state)
+
+    # local → global rows
+    path_g = jnp.where(path >= 0, path + sa[:, None, None], -1)
+    cand_g = jnp.where(cand_ids >= 0, cand_ids + sa[:, None, None, None], -1)
+    return TraversalResult(
+        path=path_g.reshape(G * A, H + 1),
+        valid=(path_g >= 0).reshape(G * A, H + 1),
+        hop_score=hop_score.reshape(G * A, H + 1),
+        cand_ids=cand_g.reshape(G * A, H, R),
+        cand_scores=cand_scores.reshape(G * A, H, R),
     )
 
 

@@ -162,7 +162,7 @@ def test_doc_truncation_keeps_newest(rng):
     import warnings
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dm, dv, _ = eng.doc_masks(eng.routed_docs("金盘科技"), max_docs=4)
+        dm, dv, *_ = eng.doc_masks(eng.routed_docs("金盘科技"), max_docs=4)
         assert any("newest" in str(x.message) for x in w)
     doc_ids = np.asarray(idx.doc_id)
     searched_docs = {int(d) for i in range(4) for d in np.unique(doc_ids[np.asarray(dm[i])])}
@@ -220,3 +220,26 @@ def test_hybrid_algorithm_contribution(engine, rng):
     # default (no with_details) call shape is unchanged
     cands_only = eng.search(q, "金盘科技", cfg=cfg)
     assert not isinstance(cands_only, tuple)
+
+
+@pytest.mark.parametrize("method", ["ssg", "triangulation", "hybrid_expansion"])
+def test_windowed_search_matches_unwindowed(engine, rng, method):
+    """QueryEngine corpora are doc-contiguous, so traversal runs through
+    traverse_windowed — results must be identical to the full-corpus
+    masked path (window forced to 0)."""
+    eng, reports, embs = engine
+    assert eng.window > 0, "build_corpus_index corpora must be doc-contiguous"
+    q = np.concatenate([_q_for(embs, 0, 5, rng), _q_for(embs, 0, 9, rng)])
+    cfg = SearchConfig(method=method, top_k=8, top_n=15, max_hops=3, neighbor_k=6)
+    res_w = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    saved = eng.window
+    try:
+        eng.window = 0
+        res_f = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    finally:
+        eng.window = saved
+    assert len(res_w) == len(res_f)
+    for a, b in zip(res_w, res_f):
+        assert a["rep_row"] == b["rep_row"] and a["page"] == b["page"]
+        assert a["hit_count"] == b["hit_count"] and a["method_count"] == b["method_count"]
+        np.testing.assert_allclose(a["distance"], b["distance"], rtol=1e-5)

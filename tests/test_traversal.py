@@ -131,3 +131,56 @@ def test_emit_hits_rescore():
     for j in range(rows.shape[1]):
         if rows[0, j] >= 0:
             np.testing.assert_allclose(sims[0, j], q[0] @ emb[rows[0, j]], rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["ssg", "triangulation"])
+@pytest.mark.parametrize("quant", [False, True])
+def test_windowed_matches_full_traversal(mode, quant):
+    """traverse_windowed over contiguous doc windows must reproduce
+    traverse with the equivalent [A, N] doc masks — paths, scores, and
+    candidate records, global row ids."""
+    from rag_challenge_2_tpu.retrieval.traversal import traverse_windowed
+
+    rng = np.random.default_rng(11)
+    G, CPD, D, A = 3, 40, 32, 5            # 3 docs x 40 chunks, 5 anchors each
+    N = G * CPD + 8                        # trailing pad rows outside any doc
+    emb = _mk(rng, n=N, d=D)
+    row_scale = None
+    emb_j = jnp.asarray(emb)
+    if quant:
+        from rag_challenge_2_tpu.ops.quant import quantize_rows
+
+        emb_j, scale = quantize_rows(jnp.asarray(emb))
+        row_scale = scale
+    win_start = np.array([0, CPD, 2 * CPD], np.int32)
+    win_len = np.full((G,), CPD, np.int32)
+    anchors = np.stack([
+        rng.integers(g * CPD, (g + 1) * CPD, size=A) for g in range(G)
+    ]).astype(np.int32)
+    anchors[1, 3] = -1                     # inactive anchor slot
+    q = rng.normal(size=(G, A, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+
+    W = 64                                 # static window > CPD, forces clamping
+    got = traverse_windowed(
+        emb_j, jnp.asarray(anchors), jnp.asarray(q),
+        jnp.asarray(win_start), jnp.asarray(win_len), row_scale,
+        window=W, max_hops=4, neighbor_k=8, mode=mode,
+    )
+
+    mask = np.zeros((G * A, N), bool)
+    for g in range(G):
+        mask[g * A : (g + 1) * A, g * CPD : (g + 1) * CPD] = True
+    ref = traverse(
+        emb_j, jnp.asarray(anchors.reshape(-1)),
+        jnp.asarray(q.reshape(G * A, D)), jnp.asarray(mask), row_scale,
+        max_hops=4, neighbor_k=8, mode=mode,
+    )
+    np.testing.assert_array_equal(np.asarray(got.path), np.asarray(ref.path))
+    np.testing.assert_allclose(
+        np.asarray(got.hop_score), np.asarray(ref.hop_score), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got.cand_ids), np.asarray(ref.cand_ids))
+    np.testing.assert_allclose(
+        np.asarray(got.cand_scores), np.asarray(ref.cand_scores), rtol=1e-5, atol=1e-6
+    )
