@@ -3,10 +3,23 @@
 The reference rents its embedding quality from an API
 (Qwen text-embedding-v4).  To make on-device corpus embedding
 (BASELINE.md config 4) self-contained, the encoder trains on the corpus
-itself with the Inverse Cloze Task: a sampled span of a chunk is the
-"query", the remainder of the chunk is the "passage", and the global-batch
-InfoNCE of models/train.py supplies the negatives.  No labels, no external
-service — the same chunked-report JSONs that feed the index feed training.
+itself with no labels and no external service — the same chunked-report
+JSONs that feed the index feed training, with global-batch InfoNCE
+(models/train.py) supplying the negatives.
+
+Two pair constructions, mixed per example:
+
+* **independent cropping** (``crop_prob`` of examples): query and passage
+  are two random overlapping crops of the same chunk.  Crops share tokens
+  (company names, years, metric terms), so the model learns that
+  lexically/semantically overlapping texts embed together — the property
+  question-style retrieval actually needs.
+* **Inverse Cloze Task** (the remainder): a sampled span is the query and
+  the chunk is the passage; with probability ``keep_span_prob`` the span
+  stays inside the passage, otherwise it is removed.  Pure span-removal
+  ICT teaches *complementary*-content matching only; measured on the
+  config-4 quality eval it collapses question-style retrieval to ~0 hit@10
+  (eval/encoder_quality.py), which is why removal-only is not the default.
 """
 
 from __future__ import annotations
@@ -31,6 +44,13 @@ class PretrainConfig:
     max_len: int = 64
     min_span: int = 4
     seed: int = 0
+    # pair-construction mix (see module docstring); crop_prob=0,
+    # keep_span_prob=0 reproduces the original removal-only ICT.
+    # Defaults = best of the measured ablation on the config-4 quality
+    # eval (docs/ENCODER_QUALITY.json): crop75/keep50 0.285 hit@10 vs
+    # 0.255 pure-crop, 0.24 crop50/keep20, 0.01 removal-only.
+    crop_prob: float = 0.75
+    keep_span_prob: float = 0.5
 
 
 def ict_pairs(
@@ -39,17 +59,48 @@ def ict_pairs(
     rng: np.random.Generator,
     min_span: int = 4,
 ) -> Tuple[List[str], List[str]]:
-    """Sample (query span, remaining passage) pairs from chunks."""
+    """Sample (query span, remaining passage) pairs from chunks
+    (removal-only ICT; kept for comparison experiments)."""
+    return contrastive_pairs(
+        chunk_texts, n, rng, min_span=min_span, crop_prob=0.0, keep_span_prob=0.0
+    )
+
+
+def contrastive_pairs(
+    chunk_texts: List[str],
+    n: int,
+    rng: np.random.Generator,
+    min_span: int = 4,
+    crop_prob: float = 0.75,
+    keep_span_prob: float = 0.5,
+) -> Tuple[List[str], List[str]]:
+    """Sample self-supervised (query, passage) pairs from chunks.
+
+    Per example: with ``crop_prob`` an independent-crop pair (two random
+    crops of the same chunk, each ≥ half the chunk so they overlap);
+    otherwise an ICT pair whose span survives in the passage with
+    ``keep_span_prob``."""
     texts = [t for t in chunk_texts if len(t) >= 2 * min_span]
     if not texts:
-        raise ValueError("corpus has no chunks long enough for ICT")
+        raise ValueError("corpus has no chunks long enough for pretraining")
     queries, passages = [], []
     for _ in range(n):
         t = texts[rng.integers(0, len(texts))]
-        span_len = int(rng.integers(min_span, max(min_span + 1, len(t) // 2)))
-        start = int(rng.integers(0, len(t) - span_len + 1))
-        queries.append(t[start : start + span_len])
-        passages.append(t[:start] + t[start + span_len :])
+        if rng.random() < crop_prob:
+            def crop():
+                span = int(rng.integers(max(min_span, len(t) // 2), len(t) + 1))
+                start = int(rng.integers(0, len(t) - span + 1))
+                return t[start : start + span]
+            queries.append(crop())
+            passages.append(crop())
+        else:
+            span_len = int(rng.integers(min_span, max(min_span + 1, len(t) // 2)))
+            start = int(rng.integers(0, len(t) - span_len + 1))
+            queries.append(t[start : start + span_len])
+            if rng.random() < keep_span_prob:
+                passages.append(t)
+            else:
+                passages.append(t[:start] + t[start + span_len :])
     return queries, passages
 
 
@@ -72,7 +123,12 @@ def pretrain_encoder(
     # token sequences must stay inside the encoder's position table
     max_len = min(pre_cfg.max_len, enc_cfg.max_len)
     for i in range(pre_cfg.steps):
-        q_texts, p_texts = ict_pairs(chunk_texts, pre_cfg.batch_size, rng, pre_cfg.min_span)
+        q_texts, p_texts = contrastive_pairs(
+            chunk_texts, pre_cfg.batch_size, rng,
+            min_span=pre_cfg.min_span,
+            crop_prob=pre_cfg.crop_prob,
+            keep_span_prob=pre_cfg.keep_span_prob,
+        )
         q = jnp.asarray(tokenize_batch(q_texts, max_len, enc_cfg.vocab_bits))
         p = jnp.asarray(tokenize_batch(p_texts, max_len, enc_cfg.vocab_bits))
         params, opt_state, metrics = step(params, opt_state, q, p)

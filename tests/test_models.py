@@ -211,3 +211,36 @@ def test_length_bucketing_preserves_embeddings():
         jnp.asarray(tokenize_batch(texts, 32, 10, bucket_len=False))))
     out = m.embed(texts)
     np.testing.assert_allclose(out, e_full, atol=2e-2)
+
+
+def test_contrastive_pairs_mix_and_determinism():
+    from rag_challenge_2_tpu.models.pretrain import contrastive_pairs
+
+    texts = [
+        f"金盘科技{2020+i}年度营业收入为{40+i*7}亿元，同比增长{5+i}个百分点，"
+        f"主要来自干式变压器与储能产品线的销售增长。" for i in range(10)
+    ]
+    qs1, ps1 = contrastive_pairs(texts, 64, np.random.default_rng(7))
+    qs2, ps2 = contrastive_pairs(texts, 64, np.random.default_rng(7))
+    assert qs1 == qs2 and ps1 == ps2          # deterministic in the rng
+
+    # crop pairs overlap: with crop_prob=1 every query is a substring of its
+    # chunk and shares ≥ some characters with its passage
+    qs, ps = contrastive_pairs(texts, 32, np.random.default_rng(0), crop_prob=1.0)
+    for q, p in zip(qs, ps):
+        src = [t for t in texts if q in t]
+        assert src, "crop query must be a contiguous substring of a chunk"
+        assert p in src[0] or any(q in t and p in t for t in texts)
+        assert len(q) >= len(src[0]) // 2 and len(p) >= len(src[0]) // 2
+
+    # keep_span_prob=1: ICT span survives inside the passage
+    qs, ps = contrastive_pairs(
+        texts, 32, np.random.default_rng(0), crop_prob=0.0, keep_span_prob=1.0
+    )
+    assert all(q in p for q, p in zip(qs, ps))
+
+    # keep_span_prob=0 reproduces removal-only ICT (span cut out)
+    qs, ps = contrastive_pairs(
+        texts, 32, np.random.default_rng(0), crop_prob=0.0, keep_span_prob=0.0
+    )
+    assert all(q not in p or len(q) < 6 for q, p in zip(qs, ps))
