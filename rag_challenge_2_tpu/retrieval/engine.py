@@ -31,7 +31,7 @@ import numpy as np
 
 from ..index.schema import CorpusIndex, CorpusMeta
 from ..ops.aggregate import FusedCandidates, fuse_hits
-from ..ops.topk import NEG_INF, dense_topk
+from ..ops.topk import NEG_INF
 from .routing import route_mask
 from .traversal import emit_hits, traverse, traverse_windowed
 
@@ -120,6 +120,36 @@ def search_device(
 
     blocks: List[Tuple] = []
 
+    def pair_topk(k: int):
+        """Per-(query, doc) exact top-k, ``[Q*M, k]`` with p = q*M + m.
+
+        The corpus is scanned ONCE per query ([Q, N] scores) and every doc
+        slot applies its routing mask to the shared scores — the naive
+        per-pair matmul recomputes each query row M times (M× the MXU
+        FLOPs and M× the corpus reads for identical numbers)."""
+        k = min(k, N)
+        if index.emb_scale is not None:      # int8 store (ops/quant.py)
+            from ..ops.quant import quantize_rows
+
+            q_i8, q_scale = quantize_rows(q)
+            acc = jax.lax.dot_general(
+                q_i8, emb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores_qn = acc.astype(jnp.float32) \
+                * q_scale[:, None] * index.emb_scale[None, :]
+        else:
+            scores_qn = jnp.dot(
+                q, emb.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        pm = doc_masks[:, None, :] & q_valid[None, :, None] & doc_valid[:, None, None]
+        s = jnp.where(pm, scores_qn[None, :, :], NEG_INF)        # [M, Q, N]
+        vals_m, rows_m = jax.lax.top_k(s, k)
+        vals = vals_m.transpose(1, 0, 2).reshape(Q * M, k)
+        rows = rows_m.transpose(1, 0, 2).reshape(Q * M, k).astype(jnp.int32)
+        return vals, rows
+
     def basic_block(k: int):
         if cfg.use_ivf and ivf is not None:
             from ..index.ivf import ivf_search
@@ -131,10 +161,7 @@ def search_device(
                 ivf, q_pair, k, nprobe=cfg.ivf_nprobe, mask=pair_mask
             )
         else:
-            vals, rows = dense_topk(
-                q_pair, emb, k, mask=pair_mask, impl="xla",
-                row_scale=index.emb_scale,
-            )
+            vals, rows = pair_topk(k)
         ok = vals > NEG_INF / 2
         sims = jnp.where(ok, vals, 0.0)
         qids = jnp.broadcast_to(qid_pair[:, None], rows.shape)
@@ -173,9 +200,7 @@ def search_device(
 
     if cfg.method in ("ssg", "triangulation"):
         # anchor = top-1 per (query, doc) (reference src/retrieval.py:1164-1169)
-        a_vals, a_rows = dense_topk(
-            q_pair, emb, 1, mask=pair_mask, impl="xla", row_scale=index.emb_scale
-        )
+        a_vals, a_rows = pair_topk(1)
         anchor = jnp.where(a_vals[:, 0] > NEG_INF / 2, a_rows[:, 0], -1)
         res, qids_t, qv_flat = run_traverse(anchor[:, None], 1, cfg.method)
         rows, sims = emit_hits(emb, qv_flat, res, index.emb_scale)
