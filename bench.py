@@ -240,9 +240,13 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
     q_valid = jnp.ones((Q_BATCH,), bool)
     q_terms = jax.random.randint(kqt, (Q_BATCH, T), 0, V, jnp.int32)
 
+    ws = jnp.arange(N_DOCS, dtype=jnp.int32) * per_doc
+    wl = jnp.full((N_DOCS,), per_doc, jnp.int32)
+
     def one_call(qs):
         return search_device(
-            idx, qs, q_valid, doc_masks, doc_valid, cfg, q_terms, None, row_slot
+            idx, qs, q_valid, doc_masks, doc_valid, cfg, q_terms, None, row_slot,
+            ws, wl, window=per_doc,
         )
 
     reps = 16  # 16 calls × 8 queries = 128 ≈ the 127-question val set
@@ -396,9 +400,12 @@ def bench_int8_10m(extras, N=10_000_000, D=1024, C=500_000):
     q_valid = jnp.ones((Q_BATCH,), bool)
     q_terms = jax.random.randint(kqt2, (Q_BATCH, T), 0, V, jnp.int32)
 
+    ws = jnp.arange(N_DOCS, dtype=jnp.int32) * per_doc
+    wl = jnp.full((N_DOCS,), per_doc, jnp.int32)
+
     def one_call(qs):
         return search_device(idx, qs, q_valid, doc_masks, doc_valid, cfg,
-                             q_terms, None, row_slot)
+                             q_terms, None, row_slot, ws, wl, window=per_doc)
 
     reps = 16
     q_batches = [q[(r * Q_BATCH) % (NQ - Q_BATCH):][:Q_BATCH] for r in range(reps)]

@@ -143,11 +143,46 @@ def search_device(
                 q, emb.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        pm = doc_masks[:, None, :] & q_valid[None, :, None] & doc_valid[:, None, None]
-        s = jnp.where(pm, scores_qn[None, :, :], NEG_INF)        # [M, Q, N]
-        vals_m, rows_m = jax.lax.top_k(s, k)
-        vals = vals_m.transpose(1, 0, 2).reshape(Q * M, k)
-        rows = rows_m.transpose(1, 0, 2).reshape(Q * M, k).astype(jnp.int32)
+        if use_window and window >= k:
+            # each doc slot's candidates live in its contiguous column
+            # range of the shared scores: slice [Q, W] per slot and run ONE
+            # top_k over [M*Q, W] — an M-fold smaller top-k domain than any
+            # full-corpus variant.  Same clamp-offset trick as
+            # traverse_windowed keeps local→global exact for tail docs.
+            sa = jnp.minimum(win_start, N - window)              # [M]
+            off = win_start - sa
+            pos = jnp.arange(window, dtype=jnp.int32)[None, :]
+            wmask = (pos >= off[:, None]) & (pos < (off + win_len)[:, None])
+            s = jnp.stack([
+                jax.lax.dynamic_slice(scores_qn, (jnp.int32(0), sa[m]), (Q, window))
+                for m in range(M)
+            ])                                                   # [M, Q, W]
+            s = jnp.where(
+                wmask[:, None, :] & q_valid[None, :, None] & doc_valid[:, None, None],
+                s, NEG_INF,
+            )
+            v, r_loc = jax.lax.top_k(s.reshape(M * Q, window), k)
+            r_glob = r_loc + jnp.repeat(sa, Q)[:, None]
+            vals = v.reshape(M, Q, k).transpose(1, 0, 2).reshape(Q * M, k)
+            rows = r_glob.reshape(M, Q, k).transpose(1, 0, 2) \
+                .reshape(Q * M, k).astype(jnp.int32)             # p = q*M + m
+            return vals, rows
+        # fallback (fragmented corpora): one fused mask+top_k pass per doc
+        # slot.  M is small and static; a [M, Q, N] broadcast-where would
+        # materialize M corpus-size score copies that XLA does NOT fuse
+        # into top_k (measured 8× slower at 1.5M rows) — per-slot, the
+        # where fuses into the top_k input read.
+        qv_col = q_valid[:, None]
+        vals_m, rows_m = [], []
+        for m in range(M):
+            sm = jnp.where(
+                doc_masks[m][None, :] & qv_col & doc_valid[m], scores_qn, NEG_INF
+            )
+            v, r = jax.lax.top_k(sm, k)
+            vals_m.append(v)
+            rows_m.append(r)
+        vals = jnp.stack(vals_m, 1).reshape(Q * M, k)            # p = q*M + m
+        rows = jnp.stack(rows_m, 1).reshape(Q * M, k).astype(jnp.int32)
         return vals, rows
 
     def basic_block(k: int):

@@ -222,7 +222,7 @@ def test_hybrid_algorithm_contribution(engine, rng):
     assert not isinstance(cands_only, tuple)
 
 
-@pytest.mark.parametrize("method", ["ssg", "triangulation", "hybrid_expansion"])
+@pytest.mark.parametrize("method", ["basic", "ssg", "triangulation", "hybrid_expansion"])
 def test_windowed_search_matches_unwindowed(engine, rng, method):
     """QueryEngine corpora are doc-contiguous, so traversal runs through
     traverse_windowed — results must be identical to the full-corpus
