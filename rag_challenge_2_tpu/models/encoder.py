@@ -174,7 +174,7 @@ class EmbeddingModel:
             b *= 2
         return min(b, batch_size)
 
-    def embed(self, texts, batch_size: int = 256) -> np.ndarray:
+    def _embed_pending(self, texts, batch_size: int):
         # dispatch every batch before pulling any result: device compute
         # overlaps host tokenization of the next batch, and the per-call
         # dispatch round-trip (the dominant cost through the axon relay)
@@ -189,5 +189,20 @@ class EmbeddingModel:
             if len(chunk) < bucket:
                 ids = np.pad(ids, ((0, bucket - len(chunk)), (0, 0)), constant_values=-1)
             pending.append((self.embed_tokens(jnp.asarray(ids)), len(chunk)))
+        return pending
+
+    def embed(self, texts, batch_size: int = 256) -> np.ndarray:
+        pending = self._embed_pending(texts, batch_size)
         outs = [np.asarray(o)[:n] for o, n in pending]
         return np.concatenate(outs) if outs else np.zeros((0, self.cfg.out_dim), np.float32)
+
+    def embed_device(self, texts, batch_size: int = 256) -> jax.Array:
+        """`embed` without the device→host pull: embeddings stay resident
+        for a consumer that runs on device anyway (QueryEngine.search
+        accepts them directly), saving two relay round-trips per query on
+        the serving path."""
+        pending = self._embed_pending(texts, batch_size)
+        outs = [o[:n] for o, n in pending]
+        if not outs:
+            return jnp.zeros((0, self.cfg.out_dim), jnp.float32)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)

@@ -107,6 +107,18 @@ class Pipeline:
             self._embedder = model.embed
         return self._embedder
 
+    @property
+    def query_embedder(self):
+        """The embedder for the serving path: when the in-repo encoder is
+        the embedder, queries stay device-resident end-to-end
+        (EmbeddingModel.embed_device → QueryEngine.search), skipping the
+        device→host pull + re-upload per question."""
+        emb = self.embedder
+        owner = getattr(emb, "__self__", None)
+        if owner is not None and hasattr(owner, "embed_device"):
+            return owner.embed_device
+        return emb
+
     # ingestion stages (reference src/pipeline.py:204,145,153,162,171) --
     def parse_pdf_reports(self, parallel: bool = False, chunk_size: int = 2, max_workers: int = 10) -> None:
         parser = get_parser(self.paths.parsed_reports_path, self.paths.subset_path)
@@ -227,7 +239,7 @@ class Pipeline:
             engine.build_ivf()
         return QuestionsProcessor(
             engine,
-            self.embedder,
+            self.query_embedder,
             LLMFacade(self.provider),
             LLMReranker(self.provider) if rc.llm_reranking else None,
             qa_cfg,

@@ -32,7 +32,6 @@ import numpy as np
 from ..index.schema import CorpusIndex, CorpusMeta
 from ..ops.aggregate import FusedCandidates, fuse_hits
 from ..ops.topk import NEG_INF
-from .routing import route_mask
 from .traversal import emit_hits, traverse, traverse_windowed
 
 METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}
@@ -65,6 +64,17 @@ class SearchConfig:
     # anchor/traversal paths stay exact; recall governed by nprobe
     use_ivf: bool = False
     ivf_nprobe: int = 8
+
+
+@functools.partial(jax.jit, static_argnames=("max_q",))
+def _pad_queries(qe: jax.Array, max_q: int):
+    """Pad device-resident query embeddings to the static batch: one
+    dispatch, no host transfer (shapes are static, so this compiles once
+    per (B, max_q))."""
+    B, D = qe.shape
+    q = jnp.zeros((max_q, D), jnp.float32).at[:B].set(qe.astype(jnp.float32))
+    qv = jnp.arange(max_q) < B
+    return q, qv
 
 
 def _flatten_hits(rows, sims, qids, mids, valid):
@@ -326,10 +336,17 @@ class QueryEngine:
         self.meta = meta
         self.ivf = ivf  # optional IVFIndex (build_ivf) for use_ivf configs
         self._doc_ids_np = np.asarray(index.doc_id)
+        # host copies of the routing columns, pulled once: routing is a
+        # host decision and must not cost a device round-trip per question
+        # (through the axon relay one sync pull is ~30 ms — it dominated
+        # the warm QA latency)
+        self._year_np = np.asarray(index.year)
+        self._company_np = np.asarray(index.company_id)
+        self._valid_np = np.asarray(index.valid)
         self._mask_cache: Dict[tuple, tuple] = {}
         # per-doc contiguous row ranges → traversal hops run doc-windowed
         # (traverse_windowed); window=0 disables if any doc is fragmented
-        valid = np.asarray(index.valid)
+        valid = self._valid_np
         self._doc_ranges: Dict[int, Tuple[int, int]] = {}
         self.window = 0
         longest = 0
@@ -363,11 +380,21 @@ class QueryEngine:
         question: str = "",
         selected_years: Optional[Sequence[int]] = None,
     ) -> List[int]:
-        """Doc ids matching the (company, years) route, reference order."""
+        """Doc ids matching the (company, years) route, reference order.
+
+        Pure host computation over the routing columns — same semantics as
+        `routing.route_mask` (company filter; year filter with fall-back to
+        all company docs, reference src/retrieval.py:125-128) without any
+        device round-trip."""
         cid = self.meta.company_id(company) if company is not None else None
         if company is not None and cid < 0:
             raise ValueError(f"No report found with '{company}' company name.")
-        mask = np.asarray(route_mask(self.index, cid, selected_years))
+        base = self._valid_np if cid is None else self._valid_np & (self._company_np == cid)
+        mask = base
+        if selected_years:
+            ymask = base & np.isin(self._year_np, list(selected_years))
+            if ymask.any():
+                mask = ymask
         return sorted(set(self._doc_ids_np[mask].tolist()))
 
     def doc_masks(
@@ -435,10 +462,16 @@ class QueryEngine:
             raise ValueError(f"No report found with '{company}' company name.")
         dm, dv, row_slot, ws, wl = self.doc_masks(doc_ids, cfg.max_docs)
         B = min(query_embs.shape[0], cfg.max_queries)
-        q = np.zeros((cfg.max_queries, self.index.dim), np.float32)
-        q[:B] = query_embs[:B]
-        qv = np.zeros((cfg.max_queries,), bool)
-        qv[:B] = True
+        if isinstance(query_embs, jax.Array):
+            # device-resident queries (e.g. EmbeddingModel.embed_device):
+            # pad on device — no host round-trip on the serving path
+            q_dev, qv_dev = _pad_queries(query_embs[:B], cfg.max_queries)
+        else:
+            q = np.zeros((cfg.max_queries, self.index.dim), np.float32)
+            q[:B] = query_embs[:B]
+            qv = np.zeros((cfg.max_queries,), bool)
+            qv[:B] = True
+            q_dev, qv_dev = jnp.asarray(q), jnp.asarray(qv)
         q_terms = None
         if cfg.use_bm25 and self.index.sparse is not None:
             from ..ops.bm25 import encode_queries
@@ -449,7 +482,7 @@ class QueryEngine:
         if cfg.use_ivf and self.ivf is None:
             raise ValueError("SearchConfig.use_ivf requires QueryEngine.build_ivf() first")
         cands, details = search_device(
-            self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg, q_terms,
+            self.index, q_dev, qv_dev, dm, dv, cfg, q_terms,
             self.ivf if cfg.use_ivf else None, row_slot,
             ws, wl, window=self.window,
         )
