@@ -243,3 +243,22 @@ def test_windowed_search_matches_unwindowed(engine, rng, method):
         assert a["rep_row"] == b["rep_row"] and a["page"] == b["page"]
         assert a["hit_count"] == b["hit_count"] and a["method_count"] == b["method_count"]
         np.testing.assert_allclose(a["distance"], b["distance"], rtol=1e-5)
+
+
+def test_windowed_falls_back_when_topk_exceeds_window(engine, rng):
+    """top_k larger than the doc window must route to the per-slot masked
+    fallback (still correct, just unwindowed)."""
+    eng, reports, embs = engine
+    assert eng.window > 0
+    q = _q_for(embs, 0, 5, rng)
+    big_k = eng.window + 7
+    cfg = SearchConfig(method="basic", top_k=big_k, top_n=10)
+    res_w = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    saved = eng.window
+    try:
+        eng.window = 0
+        res_f = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    finally:
+        eng.window = saved
+    assert [r["rep_row"] for r in res_w] == [r["rep_row"] for r in res_f]
+    assert res_w[0]["rep_row"] == 5
