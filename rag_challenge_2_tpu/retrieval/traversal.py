@@ -302,18 +302,7 @@ def traverse_windowed(
     cand_ids = jnp.full((G, A, H, R), -1, jnp.int32)
     cand_scores = jnp.zeros((G, A, H, R), jnp.float32)
 
-    if mode == "triangulation":
-        # same algebraic expansion as `traverse` (see comment there)
-        if scale_w is not None:
-            row_n2 = jnp.sum(
-                emb_w.astype(jnp.float32) ** 2, axis=2
-            ) * scale_w * scale_w                                  # [G, W]
-        else:
-            row_n2 = jnp.sum(emb_w.astype(jnp.float32) ** 2, axis=2)
-        q_n2 = jnp.sum(q_f * q_f, axis=2)                          # [G, A]
-
-    def hop_scores(cur_vec):
-        lhs = cur_vec if mode == "ssg" else jnp.concatenate([cur_vec, q_f], axis=1)
+    def hop_scores(lhs):
         if scale_w is not None:
             s = jnp.einsum(
                 "gad,gwd->gaw", lhs, emb_w.astype(jnp.float32),
@@ -327,10 +316,24 @@ def traverse_windowed(
             )
         return s
 
+    if mode == "triangulation":
+        # same algebraic expansion as `traverse` (see comment there) —
+        # but the window is small ([G, A, W] fits comfortably), so q·x is
+        # precomputed ONCE for the whole traversal instead of stacking the
+        # query into every hop's matmul (halves the per-hop FLOPs)
+        if scale_w is not None:
+            row_n2 = jnp.sum(
+                emb_w.astype(jnp.float32) ** 2, axis=2
+            ) * scale_w * scale_w                                  # [G, W]
+        else:
+            row_n2 = jnp.sum(emb_w.astype(jnp.float32) ** 2, axis=2)
+        q_n2 = jnp.sum(q_f * q_f, axis=2)                          # [G, A]
+        q_scores = hop_scores(q_f)                                 # [G, A, W]
+
     def body(hop, state):
         path, hop_score, cand_ids, cand_scores, cur_idx, cur_vec, prev_sim, active = state
         s = hop_scores(cur_vec)
-        cs = jnp.where(win_mask[:, None, :], s[:, :A], NEG_INF)
+        cs = jnp.where(win_mask[:, None, :], s, NEG_INF)
         vals, ids = jax.lax.top_k(cs, neighbor_k + 1)              # [G, A, k+1]
         visited = jnp.any(path[:, :, :, None] == ids[:, :, None, :], axis=2)
         cand_ok = (~visited) & (vals > NEG_INF / 2)
@@ -338,7 +341,7 @@ def traverse_windowed(
         if mode == "ssg":
             step_score = vals
         else:
-            qx = jnp.take_along_axis(s[:, A:], ids, axis=2)
+            qx = jnp.take_along_axis(q_scores, ids, axis=2)
             c_n2 = jnp.sum(cur_vec * cur_vec, axis=2)
             c_q = jnp.sum(cur_vec * q_f, axis=2)
             const = c_n2 - 4.0 * c_q + 4.0 * q_n2                  # [G, A]
