@@ -281,8 +281,8 @@ fetch("/api/bank").then(r=>r.json()).then(bank => {
 </html>"""
 
 # Categorized question bank (the reference ships a 127-question bank with
-# categories, app_jinpan_qa.py; its data files are not in the repo — this
-# is a representative bank over the same category taxonomy).
+# categories, app_jinpan_qa.py; its CSVs are not reproduced — these are
+# original questions over the same category taxonomy, at the same scale).
 DEFAULT_QUESTION_BANK: Dict[str, List[str]] = {
     "财务数据": [
         "2024年营业收入是多少？",
@@ -290,23 +290,146 @@ DEFAULT_QUESTION_BANK: Dict[str, List[str]] = {
         "2024年相比2023年营业收入增长了多少？",
         "经营活动现金流量净额是多少？",
         "资产负债率的变化趋势如何？",
+        "2024年归母净利润是多少？",
+        "2023年扣非净利润是多少？",
+        "2024年毛利率是多少？",
+        "近两年毛利率的变化情况如何？",
+        "2024年基本每股收益是多少？",
+        "2023年加权平均净资产收益率是多少？",
+        "2024年末总资产是多少？",
+        "2024年末归属于上市公司股东的净资产是多少？",
+        "2024年销售费用是多少？",
+        "2024年管理费用同比变化多少？",
+        "2024年财务费用是多少？",
+        "2023年投资活动现金流量净额是多少？",
+        "2024年筹资活动现金流量净额是多少？",
+        "2024年末货币资金余额是多少？",
+        "2024年末存货余额是多少？",
+        "2024年末应收账款余额是多少？",
+        "应收账款占营业收入的比例是多少？",
+        "2024年计提的资产减值损失是多少？",
+        "2024年政府补助金额是多少？",
+        "2023年所得税费用是多少？",
+        "2024年末短期借款余额是多少？",
+        "2024年末长期借款余额是多少？",
+        "2024年末商誉余额是多少？",
+        "2024年利息支出是多少？",
+        "2024年汇兑损益对利润的影响是多少？",
     ],
     "业务构成": [
         "公司主要产品有哪些？",
         "干式变压器业务的收入占比是多少？",
         "储能业务的发展情况如何？",
+        "2024年干式变压器的收入是多少？",
+        "2024年储能产品的收入是多少？",
+        "数字化工厂业务包括哪些内容？",
+        "新能源业务板块的收入占比如何变化？",
+        "2024年各产品线的毛利率分别是多少？",
+        "海上风电相关产品的收入情况如何？",
+        "充电桩业务的进展如何？",
+        "2024年新签订单金额是多少？",
+        "在手订单中海外订单的占比是多少？",
+        "主营业务收入与其他业务收入的构成如何？",
+        "2024年哪个业务板块增长最快？",
+        "光伏配套产品的销售情况如何？",
     ],
     "研发与技术": [
         "研发费用占营业收入的比例是多少？",
         "公司有多少项专利？",
+        "2024年研发投入总额是多少？",
+        "研发人员数量及占比是多少？",
+        "2024年新增授权专利多少项？",
+        "公司的核心技术有哪些？",
+        "研发投入资本化的比例是多少？",
+        "2024年有哪些新产品完成研发？",
+        "公司参与制定了哪些行业标准？",
+        "固态变压器技术的研发进展如何？",
+        "与高校或科研院所有哪些合作？",
+        "研发费用近三年的变化趋势如何？",
     ],
     "市场与客户": [
         "海外市场收入占比如何？",
         "前五大客户的销售占比是多少？",
+        "2024年境外收入是多少？",
+        "北美市场的收入情况如何？",
+        "欧洲市场的拓展进展如何？",
+        "公司主要客户有哪些类型？",
+        "对单一客户是否存在重大依赖？",
+        "2024年出口业务的毛利率是多少？",
+        "国内市场与国际市场的收入比例如何变化？",
+        "数据中心客户贡献的收入情况如何？",
+        "公司在东南亚市场有哪些布局？",
+        "新开拓了哪些海外生产基地？",
     ],
     "公司治理": [
         "公司是否进行了现金分红？",
         "董事会有多少名独立董事？",
+        "2024年度利润分配预案是什么？",
+        "每10股派发现金红利多少元？",
+        "2024年分红比例占净利润的百分比是多少？",
+        "公司实际控制人是谁？",
+        "前十大股东持股比例合计是多少？",
+        "报告期内是否实施了股权激励计划？",
+        "股权激励的考核目标是什么？",
+        "监事会由多少人组成？",
+        "报告期内召开了几次股东大会？",
+        "高管薪酬总额是多少？",
+        "是否存在控股股东股权质押情况？",
+        "公司是否回购了股份？",
+    ],
+    "风险与合规": [
+        "公司面临的主要经营风险有哪些？",
+        "原材料价格波动对公司的影响如何？",
+        "汇率波动风险如何应对？",
+        "是否存在重大未决诉讼？",
+        "报告期内是否受到监管处罚？",
+        "海外贸易政策变化的风险如何？",
+        "审计机构出具了什么类型的审计意见？",
+        "关联交易的金额和定价原则是什么？",
+        "对外担保的余额是多少？",
+        "内部控制是否存在重大缺陷？",
+    ],
+    "产能与运营": [
+        "公司有哪些生产基地？",
+        "2024年产能利用率如何？",
+        "在建工程的主要项目有哪些？",
+        "募投项目的建设进度如何？",
+        "2024年资本开支是多少？",
+        "存货周转天数是多少？",
+        "应收账款周转率如何变化？",
+        "主要原材料的采购情况如何？",
+        "前五大供应商的采购占比是多少？",
+        "海外工厂的产能情况如何？",
+    ],
+    "人力资源": [
+        "公司员工总数是多少？",
+        "生产人员、技术人员的构成比例如何？",
+        "员工薪酬总额是多少？",
+        "核心技术人员是否发生变动？",
+        "公司的人才引进政策有哪些？",
+        "员工持股计划的情况如何？",
+    ],
+    "战略与展望": [
+        "公司未来的发展战略是什么？",
+        "2025年的经营计划有哪些？",
+        "管理层如何展望行业前景？",
+        "公司在双碳目标下有哪些机遇？",
+        "国际化战略的推进计划是什么？",
+        "是否有并购或对外投资计划？",
+        "新能源行业竞争格局对公司的影响如何？",
+        "公司如何应对行业价格竞争？",
+    ],
+    "多年对比": [
+        "2020年到2024年营业收入的复合增长率是多少？",
+        "近三年净利润分别是多少？",
+        "近三年研发投入的变化趋势如何？",
+        "2022年与2023年的毛利率对比如何？",
+        "近五年资产负债率如何变化？",
+        "近三年经营性现金流与净利润的比值如何？",
+        "近三年海外收入占比的变化趋势是什么？",
+        "2021年以来股利分配政策有何变化？",
+        "近三年存货余额的变化情况如何？",
+        "近三年员工人数如何变化？",
     ],
 }
 
