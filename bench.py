@@ -161,7 +161,7 @@ def bench_ivf_1m(extras, N=1_000_000, D=1024, K_CLUSTERS=4096):
 def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
     """BASELINE config 5 (single-chip witness): dense+BM25+routing+fusion in
     ONE jitted graph at the largest corpus one chip holds comfortably
-    (2M×1024 bf16 rows + a synthetic capped CSR).  The multi-chip sharded
+    (1.5M×1024 bf16 rows + a synthetic capped CSR).  The multi-chip sharded
     variant of the same graph is validated by dryrun_multichip."""
     import jax
     import jax.numpy as jnp
@@ -277,7 +277,7 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
     extras["hybrid_qps"] = round(hybrid_qps, 1)
     extras["hybrid_corpus_rows"] = N
     extras["hybrid_bf16_recall@10"] = round(r10, 4)
-    log(f"hybrid 2M bf16 (dense+bm25+fusion, one graph): {hybrid_qps:.1f} qps, "
+    log(f"hybrid {N/1e6:g}M bf16 (dense+bm25+fusion, one graph): {hybrid_qps:.1f} qps, "
         f"dense bf16 recall@10 vs f32 exact = {r10:.4f}")
 
 

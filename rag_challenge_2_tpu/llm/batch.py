@@ -126,8 +126,11 @@ async def process_api_requests(
                     out_f.flush()
             except Exception as e:
                 if attempts > 1:
+                    # back off BEFORE re-queueing: with the item already in
+                    # the queue an idle peer retries it instantly and a
+                    # one-second 429 burst burns every attempt in ~150 ms
+                    await asyncio.sleep(1.0)
                     queue.put_nowait((i, payload, attempts - 1))
-                    await asyncio.sleep(1.0)  # back off; peers keep draining
                 else:
                     status.num_tasks_failed += 1
                     record = {"request": payload, "error": str(e)}

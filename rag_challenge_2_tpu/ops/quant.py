@@ -42,6 +42,20 @@ def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def int8_scores(q: jax.Array, emb_i8: jax.Array, row_scale: jax.Array) -> jax.Array:
+    """``[B, N]`` f32 scores of f32/bf16 queries against an int8 row store:
+    quantize the query per row, int8×int8→int32 on the MXU, rank-1 dequant
+    epilogue.  The single definition of the quantized-dot scheme for every
+    full-matrix site (exact scan, engine pair_topk, sharded shards); the
+    IVF probe keeps its own gather-shaped ``bd,bwd`` variant."""
+    q_i8, q_scale = quantize_rows(q.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        q_i8, emb_i8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * q_scale[:, None] * row_scale[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def int8_topk(
     q: jax.Array,
@@ -62,13 +76,6 @@ def int8_topk(
     Returns ``(values [B, k] f32, indices [B, k] i32)``, descending.
     """
     k = min(k, emb_i8.shape[0])
-    q_i8, q_scale = quantize_rows(q)
-    acc = jax.lax.dot_general(
-        q_i8, emb_i8,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )                                                    # [B, N] int32
-    scores = acc.astype(jnp.float32) * q_scale[:, None] * row_scale[None, :]
-    scores = _mask_scores(scores, mask)
+    scores = _mask_scores(int8_scores(q, emb_i8, row_scale), mask)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)

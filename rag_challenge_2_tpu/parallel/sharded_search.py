@@ -48,15 +48,10 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data", int8: bool = False
     def local(q, emb_l, mask_l, *rest):
         rows_per_shard = emb_l.shape[0]
         if int8:
-            from ..ops.quant import quantize_rows
+            from ..ops.quant import int8_scores
 
             (scale_l,) = rest
-            q_i8, q_scale = quantize_rows(q.astype(jnp.float32))
-            acc = jax.lax.dot_general(
-                q_i8, emb_l, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            scores = acc.astype(jnp.float32) * q_scale[:, None] * scale_l[None, :]
+            scores = int8_scores(q, emb_l, scale_l)
         else:
             scores = jnp.dot(
                 q, emb_l.T, preferred_element_type=jnp.float32,

@@ -139,15 +139,9 @@ def search_device(
         FLOPs and M× the corpus reads for identical numbers)."""
         k = min(k, N)
         if index.emb_scale is not None:      # int8 store (ops/quant.py)
-            from ..ops.quant import quantize_rows
+            from ..ops.quant import int8_scores
 
-            q_i8, q_scale = quantize_rows(q)
-            acc = jax.lax.dot_general(
-                q_i8, emb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            scores_qn = acc.astype(jnp.float32) \
-                * q_scale[:, None] * index.emb_scale[None, :]
+            scores_qn = int8_scores(q, emb, index.emb_scale)
         else:
             scores_qn = jnp.dot(
                 q, emb.T, preferred_element_type=jnp.float32,
@@ -343,6 +337,7 @@ class QueryEngine:
         self._year_np = np.asarray(index.year)
         self._company_np = np.asarray(index.company_id)
         self._valid_np = np.asarray(index.valid)
+        self._page_np = np.asarray(index.page)
         self._mask_cache: Dict[tuple, tuple] = {}
         # per-doc contiguous row ranges → traversal hops run doc-windowed
         # (traverse_windowed); window=0 disables if any doc is fragmented
@@ -367,10 +362,22 @@ class QueryEngine:
         """Cluster the corpus for SearchConfig(use_ivf=True) queries.
 
         The resident device matrix is consumed directly — no host
-        round-trip of the corpus (build_ivf keeps it on device)."""
-        from ..index.ivf import build_ivf
+        round-trip of the corpus (build_ivf keeps it on device).  An int8
+        row store is dequantized on device for clustering (k-means on raw
+        int8 codes would use the wrong geometry and ivf_search would
+        crash on the missing row_scale) and the built index is
+        re-quantized, preserving the int8 memory story; the f32 corpus
+        exists only transiently during the build."""
+        from ..index.ivf import build_ivf, quantize_ivf
 
-        self.ivf = build_ivf(self.index.emb, valid=self.index.valid, **kwargs)
+        emb = self.index.emb
+        if self.index.emb_scale is not None:
+            emb = emb.astype(jnp.float32) * self.index.emb_scale[:, None]
+            self.ivf = quantize_ivf(
+                build_ivf(emb, valid=self.index.valid, **kwargs)
+            )
+        else:
+            self.ivf = build_ivf(emb, valid=self.index.valid, **kwargs)
         return self.ivf
 
     # -- routing ---------------------------------------------------------
@@ -503,7 +510,7 @@ class QueryEngine:
         nq = np.asarray(cands.n_queries)
         nm = np.asarray(cands.n_methods)
         rep = np.asarray(cands.rep_row)
-        pages = np.asarray(self.index.page)
+        pages = self._page_np
         out = []
         method_names = {v: k for k, v in METHOD_IDS.items()}
         for i in range(len(keys)):
@@ -551,7 +558,7 @@ class QueryEngine:
             d = int(self._doc_ids_np[row])
             return {
                 "chunk_id": int(row),
-                "page": int(np.asarray(self.index.page)[row]),
+                "page": int(self._page_np[row]),
                 "source_sha1": self.meta.docs[d].sha1,
             }
 

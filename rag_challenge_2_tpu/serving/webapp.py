@@ -530,11 +530,22 @@ class QAWebApp:
         # per-request shallow copy: concurrent sessions never observe each
         # other's config (the engine/index are shared and read-only; jax
         # dispatch and the GIL make concurrent searches safe) — the
-        # reference likewise serves concurrent Streamlit sessions
+        # reference likewise serves concurrent Streamlit sessions.
+        # The reranker keeps per-run mutable stats (reset_stats at the top
+        # of rerank_documents), so each request gets its OWN reranker copy
+        # with a private stats lock — sharing it lets session B's reset
+        # wipe session A's in-flight counters.  Provider and rate limiter
+        # stay shared (the QPS budget is global by design).
         import copy
+        from threading import Lock
 
         proc = copy.copy(self.processor)
         proc.config = new_cfg
+        if proc.reranker is not None:
+            rr = copy.copy(proc.reranker)
+            rr._stats_lock = Lock()
+            rr.reset_stats()
+            proc.reranker = rr
         return proc.get_answer_for_company(
             company, q, new_cfg.schema,
             conversation_history=history, selected_years=years,
