@@ -270,9 +270,16 @@ def traverse_windowed(
     )(sa)                                                          # [G, W, D]
     scale_w = None
     if row_scale is not None:
+        # sliced as 2-D: a vmapped ONE-dimensional dynamic_slice with
+        # traced starts miscompiles on the axon TPU backend when the
+        # slice length is not a lane multiple (returns wrong windows —
+        # observed 2026-08-17 on a [NQ, N] score slice); the 2-D form is
+        # the one every parity drive has verified
         scale_w = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(row_scale, (s,), (window,))
-        )(sa)                                                      # [G, W]
+            lambda s: jax.lax.dynamic_slice(
+                row_scale[:, None], (s, jnp.int32(0)), (window, 1)
+            )
+        )(sa)[..., 0]                                              # [G, W]
     pos = jnp.arange(window, dtype=jnp.int32)[None, :]             # [1, W]
     win_mask = (pos >= off[:, None]) & (pos < (off + win_len)[:, None])  # [G, W]
 
