@@ -225,6 +225,7 @@ def build_corpus_index(
     cols = {k: [] for k in ("doc_id", "page", "year", "company_id", "kind", "page_seg", "chunk_in_doc")}
     emb_rows: List[np.ndarray] = []
     page_seg_lookup: Dict[Tuple[int, int], int] = {}
+    synthesized_segs: set = set()  # pages absent from pages[] (text built from chunks)
 
     for d, (rep, emb) in enumerate(zip(reports, embeddings)):
         mi = rep["metainfo"]
@@ -250,6 +251,16 @@ def build_corpus_index(
             if seg == len(page_seg_info):  # chunk on a page missing from pages[]
                 page_seg_info.append((d, pgno))
                 page_texts[seg] = ch.get("text", "")
+                synthesized_segs.add(seg)
+            elif seg in synthesized_segs:
+                # later chunks of a synthesized page extend its text —
+                # keeping only chunk 0 silently truncates the parent-page
+                # context handed to answering
+                t = ch.get("text", "")
+                if t:
+                    page_texts[seg] = (
+                        page_texts[seg] + "\n" + t if page_texts[seg] else t
+                    )
             cols["doc_id"].append(d)
             cols["page"].append(pgno)
             cols["year"].append(year if year is not None else -1)

@@ -152,6 +152,8 @@ def quantize_ivf(index: IVFIndex) -> IVFIndex:
     nothing upcasts the gathered ``[B, W, D]`` block."""
     from ..ops.quant import quantize_rows
 
+    if index.emb_perm.dtype == jnp.int8:
+        return index  # idempotent — see index/store.quantize_index
     emb_i8, scale = quantize_rows(index.emb_perm)
     return dataclasses.replace(index, emb_perm=emb_i8, row_scale=scale)
 

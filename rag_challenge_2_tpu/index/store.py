@@ -28,8 +28,11 @@ _FORMAT_VERSION = 1
 def save_index(path: Path, idx: CorpusIndex, meta: Optional[CorpusMeta] = None) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    emb_np = np.asarray(idx.emb)
+    if emb_np.dtype.kind == "V":  # bfloat16: npz has no bf16 — persist the
+        emb_np = emb_np.view(np.uint16)  # raw bits, emb_dtype restores it
     arrays = {
-        "emb": np.asarray(idx.emb),
+        "emb": emb_np,
         "doc_id": np.asarray(idx.doc_id),
         "page": np.asarray(idx.page),
         "year": np.asarray(idx.year),
@@ -47,7 +50,7 @@ def save_index(path: Path, idx: CorpusIndex, meta: Optional[CorpusMeta] = None) 
         "n_pages": idx.n_pages,
         "n_docs": idx.n_docs,
         "dim": idx.dim,
-        "emb_dtype": str(np.asarray(idx.emb).dtype),
+        "emb_dtype": str(jnp.asarray(idx.emb).dtype),
         "has_sparse": idx.sparse is not None,
         "tokenizer_version": TOKENIZER_VERSION,
     }
@@ -85,6 +88,11 @@ def quantize_index(idx: CorpusIndex) -> CorpusIndex:
     work unchanged."""
     from ..ops.quant import quantize_rows
 
+    if idx.emb.dtype == jnp.int8:
+        # idempotent: re-quantizing int8 CODES would replace the true
+        # per-row scales with ~amax(codes)/127 ≈ 1 and silently corrupt
+        # every dense score
+        return idx
     emb_i8, scale = quantize_rows(idx.emb)
     return dataclasses.replace(idx, emb=emb_i8, emb_scale=scale)
 
@@ -117,8 +125,16 @@ def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Option
             # recomputed (not persisted): slack beyond the live postings
             dma_pad=int(len(z["sp_chunk_ids"]) - z["sp_indptr"][-1]),
         )
+    emb_np = z["emb"]
+    emb_dtype = statics.get("emb_dtype", "")
+    if emb_dtype == "bfloat16":
+        import ml_dtypes
+
+        emb = jnp.asarray(emb_np.view(ml_dtypes.bfloat16))
+    else:
+        emb = jnp.asarray(emb_np)
     idx = CorpusIndex(
-        emb=jnp.asarray(z["emb"]),
+        emb=emb,
         doc_id=jnp.asarray(z["doc_id"]),
         page=jnp.asarray(z["page"]),
         year=jnp.asarray(z["year"]),

@@ -96,18 +96,30 @@ def bm25_scores(
 
 def _pick_pallas(impl: str, sparse: SparseIndex, window: int) -> bool:
     """Span gather goes to the Pallas DMA kernel on TPU whenever the CSR
-    carries enough slack (dma_pad) for unclamped aligned extended copies."""
+    carries enough slack (dma_pad) for unclamped aligned extended copies.
+
+    The slack/alignment requirements are SAFETY conditions, not tuning —
+    without the slack the kernel's extended aligned copies read past the
+    CSR buffer — so an explicit ``impl="pallas"`` that violates them is an
+    error, never a silent out-of-bounds DMA."""
+    from .pallas_bm25 import dma_slack
+
+    safe = (
+        sparse.dma_pad >= dma_slack(window)
+        and sparse.chunk_ids.shape[0] % 128 == 0
+    )
     if impl == "pallas":
+        if not safe:
+            raise ValueError(
+                f"impl='pallas' needs dma_pad >= dma_slack(window)="
+                f"{dma_slack(window)} (have {sparse.dma_pad}) and a "
+                "128-aligned CSR; rebuild the index with a larger "
+                "max_postings_per_term or use impl='auto'"
+            )
         return True
     if impl == "xla":
         return False
-    from .pallas_bm25 import dma_slack
-
-    return (
-        jax.default_backend() == "tpu"
-        and sparse.dma_pad >= dma_slack(window)
-        and sparse.chunk_ids.shape[0] % 128 == 0
-    )
+    return jax.default_backend() == "tpu" and safe
 
 
 def _gather_contributions(
@@ -242,6 +254,18 @@ def bm25_topk(
     size.  Measured on v5e at N=1.5M, B=8, T=64, W=512 (see DESIGN.md):
     scatter [B, N] kernel + per-doc scan ≈ 26 ms → this path with the
     Pallas span gather and a row_slot ≈ 7 ms.
+
+    CONTRACT for ``row_slot``: the fast path trusts it completely —
+    ``doc_masks[m]`` must equal ``row_slot == m`` exactly (as
+    QueryEngine.doc_masks builds them).  A mask that is a strict SUBSET of
+    its slot (e.g. additionally filtered by chunk kind) would silently
+    return excluded rows; pass ``row_slot=None`` to score such masks
+    through the scan path.
+
+    Precision note: per-doc totals come from an f32 cumsum difference over
+    B·T·window elements; with totals ~10–30 and running sums ~1e5 the
+    absolute error is ≲0.1, so candidates tied that closely may order
+    differently than the scatter path.
 
     Args:
         query_terms: [B, T] hashed term ids, -1 padded.

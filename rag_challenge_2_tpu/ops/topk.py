@@ -90,5 +90,10 @@ def dense_topk(
     if impl == "pallas":
         from .pallas_topk import pallas_dense_topk
 
+        if mask is not None and mask.ndim != 1:
+            raise ValueError(
+                "impl='pallas' supports only a 1-D [N] mask; per-query "
+                "[B, N] masks need impl='xla' (the auto route)"
+            )
         return pallas_dense_topk(q, emb, k, mask)
     return _xla_topk(q, emb, mask, k)

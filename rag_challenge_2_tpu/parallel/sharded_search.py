@@ -34,8 +34,15 @@ def shard_vec(x: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
 
 
+_TOPK_CACHE: dict = {}
+
+
 def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data", int8: bool = False):
     """Build the jitted distributed top-k: (q, emb, mask[, scale]) → (vals, rows).
+
+    Cached per (mesh, k, axis, int8): a fresh closure per call would carry
+    a fresh jit wrapper, so every invocation through the convenience
+    ``sharded_dense_topk`` would retrace + recompile.
 
     q: [B, D] replicated; emb: [N, D] row-sharded; mask: [N] row-sharded.
     With ``int8=True``, emb is an int8 store and a row-sharded [N] f32
@@ -43,6 +50,10 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data", int8: bool = False
     then holds 4× the rows at the same HBM budget.
     Returns replicated ([B, k], [B, k]) with global row indices.
     """
+    key = (mesh, k, axis, int8)
+    cached = _TOPK_CACHE.get(key)
+    if cached is not None:
+        return cached
     n_shards = mesh.shape[axis]
 
     def local(q, emb_l, mask_l, *rest):
@@ -86,7 +97,9 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "data", int8: bool = False
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    _TOPK_CACHE[key] = jitted
+    return jitted
 
 
 def sharded_dense_topk(

@@ -87,3 +87,59 @@ def test_tokenizer_version_stamp_warns(tiny_corpus, tmp_path):
             load_index(p)
     finally:
         store_mod.TOKENIZER_VERSION = orig
+
+
+def test_bf16_index_round_trip(tmp_path, rng):
+    """save_index/load_index must round-trip a bfloat16 row store (npz has
+    no bf16 dtype — persisted as raw bits + the emb_dtype static)."""
+    import jax.numpy as jnp
+    from tests.conftest import make_reports
+    from rag_challenge_2_tpu.index import build_corpus_index
+    from rag_challenge_2_tpu.index.store import load_index, save_index
+
+    reports, embs = make_reports(rng, n_docs=2)
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=12)
+    import dataclasses
+    idx16 = dataclasses.replace(idx, emb=idx.emb.astype(jnp.bfloat16))
+    p = tmp_path / "idx16.npz"
+    save_index(p, idx16, meta)
+    back, meta2 = load_index(p)
+    assert back.emb.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(back.emb.astype(jnp.float32)),
+        np.asarray(idx16.emb.astype(jnp.float32)),
+    )
+
+
+def test_quantize_index_idempotent(rng):
+    """Re-quantizing an int8 store must be a no-op (re-quantizing CODES
+    would replace true scales with ~1 and corrupt every score)."""
+    from tests.conftest import make_reports
+    from rag_challenge_2_tpu.index import build_corpus_index
+    from rag_challenge_2_tpu.index.store import quantize_index
+
+    reports, embs = make_reports(rng, n_docs=2)
+    idx, _ = build_corpus_index(reports, embs, vocab_bits=12)
+    q1 = quantize_index(idx)
+    q2 = quantize_index(q1)
+    assert q2 is q1
+    np.testing.assert_array_equal(np.asarray(q2.emb), np.asarray(q1.emb))
+    np.testing.assert_array_equal(np.asarray(q2.emb_scale), np.asarray(q1.emb_scale))
+
+
+def test_missing_page_text_accumulates_all_chunks(rng):
+    """A page absent from content.pages but carrying several chunks must
+    synthesize its page text from ALL of them, not just the first."""
+    from tests.conftest import make_reports
+    from rag_challenge_2_tpu.index import build_corpus_index
+
+    reports, embs = make_reports(rng, n_docs=1)
+    rep = reports[0]
+    # drop page 2 from pages[] while its chunks remain
+    rep["content"]["pages"] = [p for p in rep["content"]["pages"] if p["page"] != 2]
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=12)
+    seg = next(s for s, (d, pg) in enumerate(meta.page_seg_info) if pg == 2)
+    chunks_on_2 = [c["text"] for c in rep["content"]["chunks"] if c["page"] == 2]
+    assert len(chunks_on_2) >= 2
+    for t in chunks_on_2:
+        assert t in meta.page_texts[seg]
