@@ -35,12 +35,29 @@ class CorpusIngestor:
 
     def embed_reports(self, reports: List[Dict]) -> List[np.ndarray]:
         """Batched embedding of every chunk, per document (row order matches
-        chunk order — the contract reference src/ingestion.py:79-84 keeps)."""
-        out = []
+        chunk order — the contract reference src/ingestion.py:79-84 keeps).
+
+        Chunkless documents get a ``(0, D)`` placeholder with the REAL
+        embedding dim (build_corpus_index reads dim from the first block,
+        so a ``(0, 1)`` placeholder sorting first would poison the corpus
+        dim)."""
+        out: List[np.ndarray] = []
+        empties: List[int] = []
         for rep in reports:
             texts = [c["text"] for c in rep["content"]["chunks"]]
-            embs = self.embedder(texts) if texts else np.zeros((0, 1), np.float32)
-            out.append(np.asarray(embs, np.float32))
+            if texts:
+                out.append(np.asarray(self.embedder(texts), np.float32))
+            else:
+                out.append(np.zeros((0, 1), np.float32))
+                empties.append(len(out) - 1)
+        if empties:
+            dims = {e.shape[1] for e in out if e.shape[0] > 0}
+            if dims:
+                d = dims.pop()
+            else:  # every document is empty — probe the embedder once
+                d = int(np.asarray(self.embedder(["占位"]), np.float32).shape[1])
+            for i in empties:
+                out[i] = np.zeros((0, d), np.float32)
         return out
 
     def build(
@@ -71,7 +88,19 @@ class CorpusIngestor:
         embedding cost).  Existing embeddings are reused verbatim.
         """
         n_old = index.n_chunks
-        old_emb = np.asarray(index.emb[:n_old], np.float32)
+        if index.emb_scale is not None:
+            # int8 store: the raw codes need their per-row scales back —
+            # splicing codes next to f32 embeddings would corrupt every
+            # score. The rebuilt index is f32; re-quantize afterwards if
+            # the int8 memory footprint is wanted (index/store).
+            import jax.numpy as jnp
+
+            old_emb = np.asarray(
+                index.emb[:n_old].astype(jnp.float32)
+                * index.emb_scale[:n_old, None]
+            )
+        else:
+            old_emb = np.asarray(index.emb[:n_old], np.float32)
         old_doc_ids = np.asarray(index.doc_id[:n_old])
 
         # reconstruct per-document embedding blocks in original doc order

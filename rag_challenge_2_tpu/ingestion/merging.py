@@ -185,7 +185,12 @@ class PageTextPreparation:
                     out.append(f"{text}\n")
                 i += 1
             else:
-                raise ValueError(f"Unknown block type: {btype}")
+                # docling's label vocabulary is open (title, code,
+                # document_index, reference, chart, …) — degrade unknown
+                # labels to plain text instead of killing the merge stage
+                if text:
+                    out.append(f"{text}\n")
+                i += 1
         return out
 
     @staticmethod

@@ -100,7 +100,9 @@ async def process_api_requests(
             except asyncio.QueueEmpty:
                 await asyncio.sleep(0.05)
                 continue
-            await acquire(_estimate_tokens(payload))
+            # clamp: an estimate above the whole per-minute budget can
+            # never be satisfied and would busy-wait forever
+            await acquire(min(_estimate_tokens(payload), max_tokens_per_minute))
             status.num_tasks_started += 1
             status.num_tasks_in_progress += 1
             try:

@@ -120,6 +120,9 @@ class LLMFacade:
                 if matched:
                     out[company] = matched[0]
                 else:
-                    out[company] = subs[0]["question"] if subs else original_question
+                    # an unmatched company must NOT inherit another
+                    # company's sub-question; the original (comparative)
+                    # question still retrieves against this company's docs
+                    out[company] = original_question
             return out
         return {f"sub_q_{i}": s["question"] for i, s in enumerate(subs)}

@@ -99,7 +99,7 @@ class QuestionsProcessor:
                 continue
             if company.isascii():
                 # ASCII names need a word boundary ("Apple" ≠ "Applebee")
-                pattern = rf"{re.escape(company)}(?:\W|$)"
+                pattern = rf"(?:^|[^0-9A-Za-z]){re.escape(company)}(?:[^0-9A-Za-z]|$)"
             else:
                 # CJK names: the reference's `\W` boundary never matches a
                 # following han character (和/的/…), silently missing names
@@ -198,16 +198,29 @@ class QuestionsProcessor:
     def _load_group_chunks(self, groups: List[Dict], results: List[Dict]) -> List[Dict]:
         """Group pages → page chunks, dedup keeping best group score
         (reference :296-371)."""
-        page_to_result = {r["page"]: r for r in results if r.get("page") is not None}
-        chunks: Dict[int, Dict] = {}
+        # page numbers repeat across a company's per-year documents, so
+        # lookups prefer the result from the group's OWN document and fall
+        # back to the best-ranked result for that page number
+        by_page: Dict[int, List[Dict]] = {}
+        for r in results:
+            if r.get("page") is not None:
+                by_page.setdefault(r["page"], []).append(r)
+
+        def result_for(page, sha1):
+            lst = by_page.get(page) or []
+            for r in lst:
+                if r.get("source_sha1", "") == sha1:
+                    return r
+            return lst[0] if lst else None
+
+        chunks: Dict[tuple, Dict] = {}
         for g in groups:
             for page in g["pages"]:
                 is_core = page == g["core_page"]
-                if page in page_to_result:
-                    text = page_to_result[page].get("text", "")
-                    vec = page_to_result[page].get(
-                        "vector_similarity", page_to_result[page].get("distance", 0.0)
-                    )
+                hit = result_for(page, g["source_sha1"])
+                if hit is not None:
+                    text = hit.get("text", "")
+                    vec = hit.get("vector_similarity", hit.get("distance", 0.0))
                 else:
                     text = self._page_text_for(g["source_sha1"], page)
                     vec = g["core_score"]
@@ -223,8 +236,9 @@ class QuestionsProcessor:
                     "relevance_score": None,
                     "combined_score": g["core_score"] if is_core else None,
                 }
-                if page not in chunks or cand["group_score"] > chunks[page]["group_score"]:
-                    chunks[page] = cand
+                key = (g["source_sha1"], page)
+                if key not in chunks or cand["group_score"] > chunks[key]["group_score"]:
+                    chunks[key] = cand
         return list(chunks.values())
 
     @staticmethod
@@ -238,8 +252,16 @@ class QuestionsProcessor:
         expand_adjacent: bool = True, context_size: int = 2,
     ) -> List[Dict]:
         """Reference list with adjacent expansion flags (reference :373-445)."""
-        page_to_sha1 = {r["page"]: r.get("source_sha1", "") for r in results if r.get("page") is not None}
-        page_to_text = {r["page"]: r.get("text", "") for r in results if r.get("page") is not None}
+        # first (= best-ranked) result wins a contested page number —
+        # page numbers repeat across a company's per-year documents
+        page_to_sha1: Dict[int, str] = {}
+        page_to_text: Dict[int, str] = {}
+        for r in results:
+            p = r.get("page")
+            if p is None:
+                continue
+            page_to_sha1.setdefault(p, r.get("source_sha1", ""))
+            page_to_text.setdefault(p, r.get("text", ""))
         if not expand_adjacent or not pages:
             return [
                 {"pdf_sha1": page_to_sha1.get(p, ""), "page_index": p,
@@ -263,7 +285,12 @@ class QuestionsProcessor:
         self, selected_pages: List[int], results: List[Dict], groups: List[Dict]
     ) -> List[Dict]:
         """Group-aware references (reference :243-294)."""
-        page_to_result = {r["page"]: r for r in results if r.get("page") is not None}
+        # prefer the result from the group's own document (page numbers
+        # repeat across a company's per-year docs); best-ranked fallback
+        by_page: Dict[int, List[Dict]] = {}
+        for r in results:
+            if r.get("page") is not None:
+                by_page.setdefault(r["page"], []).append(r)
         page_to_group: Dict[int, Dict] = {}
         for g in groups:
             for p in g["pages"]:
@@ -272,9 +299,14 @@ class QuestionsProcessor:
         refs = []
         for p in sorted(page_to_group):
             g = page_to_group[p]
-            if p in page_to_result:
-                sha1 = page_to_result[p].get("source_sha1", "")
-                text = page_to_result[p].get("text", "")
+            hit = next(
+                (r for r in by_page.get(p, [])
+                 if r.get("source_sha1", "") == g.get("source_sha1", "")),
+                (by_page.get(p) or [None])[0],
+            )
+            if hit is not None:
+                sha1 = hit.get("source_sha1", "")
+                text = hit.get("text", "")
             else:
                 sha1 = g.get("source_sha1", "")
                 text = self._page_text_for(sha1, p)
@@ -486,8 +518,11 @@ class QuestionsProcessor:
         timing["generate_answer"] = time.perf_counter() - t0
         timing["total_time"] = time.perf_counter() - total0
 
+        # validate the pages the answering model actually cited (reference
+        # src/questions_processing.py:536-568 validates the CLAIMED pages,
+        # dropping hallucinated ones); stage-1 selection is the fallback
         validated_pages = self._validate_page_references(
-            validated_selected or answer.get("relevant_pages"), results
+            answer.get("relevant_pages") or validated_selected, results
         )
         answer["relevant_pages"] = validated_pages
         if cfg.expand_upstream and page_groups:

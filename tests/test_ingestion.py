@@ -97,10 +97,15 @@ def test_clean_text_glyphs():
     assert n == 4
 
 
-def test_unknown_block_type_raises():
-    rep = _parsed_report([{"type": "hologram", "text": "x"}])
-    with pytest.raises(ValueError, match="Unknown block type"):
-        PageTextPreparation().process_report(rep)
+def test_unknown_block_type_degrades_to_plain_text():
+    """docling's label vocabulary is open (title, code, chart, …): unknown
+    text-bearing labels must flow through as plain text, not kill the
+    merge stage."""
+    rep = _parsed_report([{"type": "hologram", "text": "x"},
+                          {"type": "title", "text": "年度报告"}])
+    out = PageTextPreparation().process_report(rep)
+    body = json.dumps(out, ensure_ascii=False)
+    assert "x" in body and "年度报告" in body
 
 
 # ---------------------------------------------------------------- splitter
@@ -344,3 +349,37 @@ def test_assemble_report_docling_fidelity():
     assert pic["picture_id"] == 0 and pic["page"] == 2
     assert pic["children"][0]["text"] == "图1 营收构成"
     assert pic["bbox"] == [10.0, 700.0, 500.0, 650.0]
+
+
+def test_add_reports_dequantizes_int8_store(rng):
+    """Incremental build on a quantized index must splice TRUE embeddings,
+    not raw int8 codes (codes next to unit-norm floats corrupt scores)."""
+    from rag_challenge_2_tpu.index.store import quantize_index
+
+    dim = 16
+
+    def embedder(texts):
+        out = rng.normal(size=(len(texts), dim)).astype(np.float32)
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    def mk(sha1, year, texts):
+        return {
+            "metainfo": {"sha1_name": sha1, "company_name": "金盘科技", "year": year},
+            "content": {
+                "pages": [{"page": i + 1, "text": t} for i, t in enumerate(texts)],
+                "chunks": [{"page": i + 1, "text": t, "id": i, "type": "content"}
+                           for i, t in enumerate(texts)],
+            },
+        }
+
+    ing = CorpusIngestor(embedder, vocab_bits=12)
+    idx1, meta1 = ing.build([mk("J2023_a", 2023, ["营收50亿", "利润4亿"])])
+    f32_rows = np.asarray(idx1.emb[:2])
+    q8 = quantize_index(idx1)
+    idx2, _ = ing.add_reports(q8, meta1, [mk("J2024_a", 2024, ["营收68亿"])])
+    # old rows restored to ~true values (int8 quantization error only)
+    assert idx2.emb_scale is None and str(idx2.emb.dtype) == "float32"
+    np.testing.assert_allclose(np.asarray(idx2.emb[:2]), f32_rows, atol=2e-2)
+    # all rows unit-norm-ish, not code-magnitude (~127)
+    norms = np.linalg.norm(np.asarray(idx2.emb[:3]), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=5e-2)

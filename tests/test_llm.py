@@ -99,7 +99,9 @@ def test_rephrased_questions_company_mapping():
     out = f.get_rephrased_questions("A公司和B公司谁营收高", companies=["B公司", "A公司", "C公司"])
     assert out["A公司"].startswith("A公司")
     assert out["B公司"].startswith("B公司")
-    assert out["C公司"] == "A公司2024年营收是多少？"  # fallback = first sub
+    # unmatched company must NOT inherit another company's sub-question —
+    # it falls back to the original (comparative) question
+    assert out["C公司"] == "A公司和B公司谁营收高"
 
 
 def test_evaluate_answer_uses_typed_rubric():
