@@ -453,7 +453,9 @@ def bench_traversal(extras):
     def cpu_ssg_one(qv, rows):
         sub = emb[rows]
         path = [int(np.argmax(sub @ qv))]
-        cur, prev = path[0], 1.0
+        # first hop exempt from the early-stop bar, matching the engine's
+        # documented deviation from the reference (traversal.py)
+        cur, prev = path[0], -np.inf
         for _ in range(MAX_HOPS):
             s = sub @ sub[cur]                      # reconstruct + search
             cand = [c for c in np.argsort(-s)[: NEIGHBOR_K + 1] if c not in path]

@@ -207,7 +207,10 @@ def eval_bm25(ds: QualityDataset, k: int = 10, vocab_bits: int = 18) -> Dict[str
 
     n_pad = -(-len(ds.chunk_texts) // 128) * 128
     sp = _build_sparse(ds.chunk_texts, n_pad, vocab_bits=vocab_bits)
-    qt = encode_queries(ds.queries, max_terms=32, vocab_bits=vocab_bits)
+    # 64 covers the longest paraphrase query (45 uni+bigram terms) —
+    # truncating at 32 cut the discriminative bigrams and handicapped the
+    # baseline the dense systems are compared against
+    qt = encode_queries(ds.queries, max_terms=64, vocab_bits=vocab_bits)
     scores = np.asarray(bm25_scores(sp, qt, n_pad))[:, : len(ds.chunk_texts)]
     return retrieval_metrics(scores, ds, k=k)
 

@@ -96,7 +96,7 @@ class JudgeHarness:
         results_path = Path(results_path)
         with open(results_path, "r", encoding="utf-8") as f:
             data = json.load(f)
-        records = data.get("records", data if isinstance(data, list) else [])
+        records = data if isinstance(data, list) else data.get("records", [])
         backup = results_path.with_name(
             results_path.stem + f".bak-{int(time.time())}" + results_path.suffix
         )

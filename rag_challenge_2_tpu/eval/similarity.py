@@ -27,7 +27,9 @@ def similarity_matrix(index: CorpusIndex, doc_id: int) -> np.ndarray:
     rows = np.nonzero(np.asarray(index.doc_id) == doc_id)[0]
     if len(rows) == 0:
         raise ValueError(f"doc_id {doc_id} has no chunks")
-    E = index.emb[jnp.asarray(rows)]
+    E = index.emb[jnp.asarray(rows)].astype(jnp.float32)
+    if index.emb_scale is not None:   # int8 store: dequantize like every
+        E = E * index.emb_scale[jnp.asarray(rows)][:, None]  # other consumer
     M = jnp.dot(E, E.T, preferred_element_type=jnp.float32)
     return np.asarray(M)
 

@@ -294,7 +294,12 @@ def search_device(
         # rows only; padded queries have all -1 terms → zero scores → ~ok)
         ok_b = ok_b & q_valid[jnp.repeat(jnp.arange(Q), M)][:, None] \
                     & doc_valid[jnp.tile(jnp.arange(M), Q)][:, None]
-        norm = jnp.maximum(jnp.max(jnp.where(ok_b, bv, 0.0), axis=1, keepdims=True), 1e-9)
+        # normalize per QUERY (max over all of the query's doc slots), not
+        # per (query, doc) pair — a per-pair max inflates every routed
+        # document's best lexical hit to exactly 1.0 regardless of its
+        # absolute relevance, destroying cross-document BM25 ordering
+        per_q = jnp.max(jnp.where(ok_b, bv, 0.0).reshape(Q, M * k_bm), axis=1)
+        norm = jnp.maximum(per_q, 1e-9)[jnp.repeat(jnp.arange(Q), M)][:, None]
         sims_b = jnp.where(ok_b, bv / norm, 0.0)
         qids_b = jnp.broadcast_to(qid_pair[:, None], brows.shape)
         mids_b = jnp.full(brows.shape, METHOD_IDS["bm25"], jnp.int32)
@@ -427,6 +432,7 @@ class QueryEngine:
         key = (tuple(doc_ids), max_docs)
         cached = self._mask_cache.get(key)
         if cached is not None:
+            self._mask_cache[key] = self._mask_cache.pop(key)  # LRU refresh
             return cached
         m = np.zeros((max_docs, self.index.n_pad), bool)
         v = np.zeros((max_docs,), bool)
@@ -446,7 +452,11 @@ class QueryEngine:
             jnp.asarray(m), jnp.asarray(v), jnp.asarray(slot),
             jnp.asarray(ws), jnp.asarray(wl),
         )
-        self._mask_cache[key] = out  # routes are few; device masks are reused
+        # bounded LRU: each route holds ~(max_docs+1)·N device bytes; an
+        # unbounded cache leaks HBM under many distinct year filters
+        self._mask_cache[key] = out
+        while len(self._mask_cache) > 16:
+            self._mask_cache.pop(next(iter(self._mask_cache)))
         return out
 
     # -- search ----------------------------------------------------------
@@ -625,7 +635,7 @@ class QueryEngine:
                 stats = {
                     "total_expanded": int(expanded.size),
                     "new_only": len(new),
-                    "in_basic_top50": int(expanded.size) - len(new),
+                    "in_basic_top50": len(uniq) - len(new),
                 }
                 return stats, [chunk_info(r) for r in new]
 

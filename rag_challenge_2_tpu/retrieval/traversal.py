@@ -19,7 +19,13 @@ Exact semantic match to the reference:
   with visited ones dropped (so if every one of the k+1 is visited, the
   traversal stops — matching the "no candidates → break" path);
 * SSG picks max chunk-to-chunk similarity and stops when it does not
-  strictly improve on the previous hop;
+  strictly improve on the previous hop.  DOCUMENTED DEVIATION: the
+  reference seeds the bar at the anchor's self-similarity 1.0
+  (src/retrieval.py:614), which on unit-norm embeddings no first hop can
+  ever beat — its SSG silently degenerates to anchor-only.  Here the
+  FIRST hop is exempt (the bar starts at -inf; you cannot "stop
+  improving" before the first step) and strict improvement applies from
+  hop 2 on, which is the documented intent of the algorithm;
 * Triangulation picks max ``1/(1+‖(q+c+cand)/3 − q‖₂)`` and never
   early-stops;
 * outputs are the traversal paths; final hit similarities are re-computed
@@ -203,7 +209,9 @@ def traverse(
         prev_sim = jnp.where(step, best_score, prev_sim)
         return path, hop_score, cand_ids, cand_scores, new_idx, new_vec, prev_sim, step
 
-    prev_sim0 = jnp.where(active0, 1.0, NEG_INF)  # anchor self-similarity (reference :613)
+    # first hop exempt from the early-stop bar (see module docstring —
+    # the reference's 1.0 seed makes SSG a no-op on unit-norm embeddings)
+    prev_sim0 = jnp.full(anchor_idx.shape, NEG_INF)
     state = (
         path, hop_score, cand_ids, cand_scores,
         jnp.maximum(anchor_idx, 0), anchor_vec, prev_sim0, active0,
@@ -382,7 +390,7 @@ def traverse_windowed(
         prev_sim = jnp.where(step, best_score, prev_sim)
         return path, hop_score, cand_ids, cand_scores, new_idx, new_vec, prev_sim, step
 
-    prev_sim0 = jnp.where(active0, 1.0, NEG_INF)
+    prev_sim0 = jnp.full(anchor_local.shape, NEG_INF)  # first hop exempt (see traverse)
     state = (
         path, hop_score, cand_ids, cand_scores,
         jnp.maximum(anchor_local, 0), anchor_vec, prev_sim0, active0,

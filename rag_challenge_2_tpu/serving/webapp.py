@@ -235,7 +235,7 @@ async function ask() {
   document.getElementById("answer").innerHTML = "<div class='answer'>⏳ 检索与生成中…</div>";
   const cfg = cfgFromSidebar({
     question: q,
-    history: HISTORY.slice(-(+document.getElementById("history_n").value || 0)),
+    history: (n => n > 0 ? HISTORY.slice(-n) : [])(+document.getElementById("history_n").value || 0),
   });
   const res = await fetch("/api/ask", {method:"POST", headers:{"Content-Type":"application/json"}, body: JSON.stringify(cfg)});
   const data = await res.json();
@@ -446,13 +446,12 @@ class QAWebApp:
         if isinstance(question_bank, list):  # back-compat: flat list
             question_bank = {"问题库": question_bank}
         self.question_bank = question_bank or DEFAULT_QUESTION_BANK
-        self._lock = threading.Lock()
-        # (sha1, page) → page text, for the cited-page viewer
-        meta = processor.engine.meta
-        self._page_text: Dict[tuple, str] = {}
-        for seg, (doc, page) in enumerate(meta.page_seg_info):
-            sha1 = meta.docs[doc].sha1
-            self._page_text[(sha1, int(page))] = meta.page_texts.get(seg, "")
+        # (sha1, page) → page text: the processor already builds exactly
+        # this map; reuse it (one copy, one key normalization)
+        self._page_text = {
+            (sha1, int(page)): text
+            for (sha1, page), text in processor._page_text.items()
+        }
 
     def page(self, query: Dict[str, List[str]]) -> Dict:
         """Page-text viewer: the reference renders PDF page images
@@ -492,9 +491,13 @@ class QAWebApp:
                 out["rag_answer"] = ""
                 out["error"] = "empty question"
             else:
-                ans = self.ask({**payload, "question": q, "history": None})
-                out["rag_answer"] = str(ans.get("final_answer", ans.get("error", "")))
-                out["references"] = ans.get("references", [])
+                try:
+                    ans = self.ask({**payload, "question": q, "history": None})
+                    out["rag_answer"] = str(ans.get("final_answer", ans.get("error", "")))
+                    out["references"] = ans.get("references", [])
+                except Exception as e:  # one bad question must not discard
+                    out["rag_answer"] = ""  # the rest of the batch's work
+                    out["error"] = f"{type(e).__name__}: {e}"
             answered.append(out)
         harness = JudgeHarness(self.processor.llm)
         return harness.judge_all(answered)

@@ -213,7 +213,10 @@ def test_hybrid_algorithm_contribution(engine, rng):
         st = ac[f"{m}_stats"] if m == "ssg" else ac["triangulation_stats"]
         st = ac["ssg_stats"] if m == "ssg" else ac["triangulation_stats"]
         assert st["total_expanded"] >= st["new_only"] >= 0
-        assert st["in_basic_top50"] == st["total_expanded"] - st["new_only"]
+        # in_basic_top50 counts UNIQUE expanded chunks already in the basic
+        # set (occurrence-based counting double-counted repeat discoveries)
+        assert 0 <= st["in_basic_top50"] <= st["total_expanded"] - st["new_only"]
+        assert st["in_basic_top50"] + st["new_only"] <= st["total_expanded"]
         assert ac[f"{m}_new_chunks_count" if m == "ssg" else "triangulation_new_chunks_count"] == st["new_only"]
     for ch in ac["ssg_new_chunks"] + ac["triangulation_new_chunks"]:
         assert set(ch) == {"chunk_id", "page", "source_sha1"}

@@ -9,11 +9,13 @@ from rag_challenge_2_tpu.retrieval.traversal import traverse, emit_hits
 
 
 def _oracle_ssg(emb, mask, anchor, max_hops, neighbor_k):
-    """Reference _ssg_search (src/retrieval.py:585-688) on numpy."""
+    """Reference _ssg_search (src/retrieval.py:585-688) on numpy, with the
+    documented first-hop-exempt deviation (the reference's prev=1.0 seed
+    makes SSG a no-op on unit-norm embeddings — see traversal.py)."""
     visited = {anchor}
     path = [anchor]
     cur = anchor
-    prev_sim = 1.0
+    prev_sim = -np.inf
     for _ in range(max_hops):
         scores = emb[cur] @ emb.T
         scores[~mask] = -np.inf
