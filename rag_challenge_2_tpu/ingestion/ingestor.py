@@ -46,7 +46,11 @@ class CorpusIngestor:
         for rep in reports:
             texts = [c["text"] for c in rep["content"]["chunks"]]
             if texts:
-                out.append(np.asarray(self.embedder(texts), np.float32))
+                blocks = [
+                    np.asarray(self.embedder(texts[s0 : s0 + self.batch_size]), np.float32)
+                    for s0 in range(0, len(texts), self.batch_size)
+                ]
+                out.append(np.concatenate(blocks) if len(blocks) > 1 else blocks[0])
             else:
                 out.append(np.zeros((0, 1), np.float32))
                 empties.append(len(out) - 1)

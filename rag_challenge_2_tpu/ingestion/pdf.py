@@ -110,9 +110,13 @@ def _process_text_reference(ref_num: int, data: Dict) -> Dict:
     return item
 
 
-def _expand_groups(body_children: List, groups: List) -> List:
-    """Inline group members with their group identity
-    (reference src/pdf_parsing.py:411-437)."""
+def _expand_groups(body_children: List, groups: List, _depth: int = 0) -> List:
+    """Inline group members with their group identity, RECURSIVELY —
+    docling nests groups (a list inside a list); a non-recursive pass
+    would emit the inner group ref as a plain item and its text would
+    silently vanish from every page (reference src/pdf_parsing.py:411-437)."""
+    if _depth > 16:  # defensive: malformed self-referencing groups
+        return []
     out = []
     for item in body_children:
         ref = item.get("$ref") if isinstance(item, dict) else None
@@ -120,11 +124,11 @@ def _expand_groups(body_children: List, groups: List) -> List:
             ref_type, ref_num = ref.split("/")[-2:]
             if ref_type == "groups":
                 group = groups[int(ref_num)]
-                for child in group.get("children", []):
-                    c = dict(child)
-                    c["group_id"] = int(ref_num)
-                    c["group_name"] = group.get("name", "")
-                    c["group_label"] = group.get("label", "")
+                for c in _expand_groups(group.get("children", []), groups, _depth + 1):
+                    c = dict(c)
+                    c.setdefault("group_id", int(ref_num))
+                    c.setdefault("group_name", group.get("name", ""))
+                    c.setdefault("group_label", group.get("label", ""))
                     out.append(c)
                 continue
         out.append(item)
@@ -204,6 +208,9 @@ def assemble_report(data: Dict, sha1_name: str, metadata=None) -> Dict:
             pages[pno] = {
                 "page": pno,
                 "content": [],
+                # the first item's prov bbox, NOT the page size — this
+                # mirrors the reference contract exactly
+                # (reference src/pdf_parsing.py:503,522,541)
                 "page_dimensions": prov.get("bbox", {}),
             }
         return pages[pno]

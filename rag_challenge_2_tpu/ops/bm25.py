@@ -290,14 +290,20 @@ def bm25_topk(
 
 
 def encode_queries(texts, max_terms: int = 64, vocab_bits: int = 20):
-    """Host-side: tokenize + hash query texts into a padded [B, T] id batch."""
+    """Host-side: tokenize + hash query texts into a padded [B, T] id batch
+    (the C++ tokenizer when available — byte-identical ids, tested in
+    test_native — else the pure-Python path)."""
     import numpy as np
 
-    from ..utils import tokenize as tok
+    from ..utils.native import tokenize_queries_native
 
-    B = len(texts)
-    out = np.full((B, max_terms), -1, np.int32)
-    for i, t in enumerate(texts):
-        ids = tok.token_ids(t, vocab_bits)[:max_terms]
-        out[i, : len(ids)] = ids
+    texts = list(texts)
+    out = tokenize_queries_native(texts, vocab_bits, max_terms)
+    if out is None:
+        from ..utils import tokenize as tok
+
+        out = np.full((len(texts), max_terms), -1, np.int32)
+        for i, t in enumerate(texts):
+            ids = tok.token_ids(t, vocab_bits)[:max_terms]
+            out[i, : len(ids)] = ids
     return jnp.asarray(out)

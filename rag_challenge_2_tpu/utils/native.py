@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -21,6 +22,10 @@ _LIB = _NATIVE_DIR / "libcsr_builder.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
+# csr_build/csr_collect share process-global state inside the library; the
+# two-phase call must not interleave across threads (concurrent builds
+# would read each other's buffers — use-after-free or corrupted CSRs)
+_build_lock = threading.Lock()
 
 
 def _ensure_built() -> Optional[ctypes.CDLL]:
@@ -83,6 +88,7 @@ def build_csr_native(
     buf, offsets = _pack(texts)
     n = len(texts)
     V = 1 << vocab_bits
+    _build_lock.acquire()
     nnz = lib.csr_build(
         buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         np.int32(n), np.int32(vocab_bits),
@@ -92,13 +98,16 @@ def build_csr_native(
     tf = np.zeros(max(nnz, 1), np.float32)
     df = np.zeros(V, np.float32)
     chunk_len = np.zeros(max(n, 1), np.float32)
-    lib.csr_collect(
-        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        chunk_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        df.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        chunk_len.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
+    try:
+        lib.csr_collect(
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            chunk_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            df.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            chunk_len.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    finally:
+        _build_lock.release()
     return indptr, chunk_ids[:nnz], tf[:nnz], df, chunk_len[:n]
 
 

@@ -12,11 +12,14 @@ from pathlib import Path
 
 _platform = os.environ.get("RAGTPU_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
+import re as _re
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# strip any pre-existing device-count flag (a shell exporting =1 would
+# silently defeat the 8-device virtual mesh the suite depends on)
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -31,8 +34,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: a session-scoped mutable generator makes every
+    # test's synthetic data depend on which tests ran before it (a test
+    # could pass alone and fail in the suite); each test now draws the
+    # same deterministic stream regardless of ordering
     return np.random.default_rng(0)
 
 

@@ -83,15 +83,17 @@ def test_native_query_tokenizer_matches_python():
         assert got == expected, (text, got[:10], expected[:10])
 
 
-def test_build_sparse_uses_native(tiny_corpus):
-    # index built through the normal path must equal the python fallback
+def test_build_sparse_uses_native(tiny_corpus, monkeypatch):
+    # index built through the normal (native) path must equal the python
+    # fallback — the fallback is forced by making the native builder
+    # report unavailable (the old cap-argument trick still ran native)
     from rag_challenge_2_tpu.index.build import _build_sparse
     import rag_challenge_2_tpu.utils.native as native_mod
 
     texts = ["营业收入100亿", "净利润 5.1 亿元", "revenue growth"]
     sp_nat = _build_sparse(texts, 1024, 12, None)
-    # force the python path via the cap argument (cap > any df → no-op cap)
-    sp_py = _build_sparse(texts, 1024, 12, max_postings_per_term=10**6)
+    monkeypatch.setattr(native_mod, "build_csr_native", lambda *a, **k: None)
+    sp_py = _build_sparse(texts, 1024, 12, None)
     np.testing.assert_array_equal(np.asarray(sp_nat.indptr), np.asarray(sp_py.indptr))
     np.testing.assert_array_equal(
         np.asarray(sp_nat.chunk_ids), np.asarray(sp_py.chunk_ids)
