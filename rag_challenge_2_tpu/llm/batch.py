@@ -106,6 +106,11 @@ async def process_api_requests(
             status.num_tasks_started += 1
             status.num_tasks_in_progress += 1
             try:
+                # the try covers ONLY the HTTP exchange: an exception in
+                # the success bookkeeping below (e.g. a jsonl write error)
+                # must never re-queue an already-finalized request — that
+                # would decrement `unfinished` twice and make workers exit
+                # while other requests still sit in the queue
                 async with session.post(
                     f"{base_url.rstrip('/')}/chat/completions",
                     json=payload,
@@ -119,13 +124,6 @@ async def process_api_requests(
                     if resp.status >= 400 or "error" in body:
                         status.num_api_errors += 1
                         raise RuntimeError(str(body.get("error", resp.status)))
-                record = {"request": payload, "response": body}
-                results[i] = record
-                unfinished -= 1
-                status.num_tasks_succeeded += 1
-                if out_f:
-                    out_f.write(json.dumps(record, ensure_ascii=False) + "\n")
-                    out_f.flush()
             except Exception as e:
                 if attempts > 1:
                     # back off BEFORE re-queueing: with the item already in
@@ -139,8 +137,22 @@ async def process_api_requests(
                     results[i] = record
                     unfinished -= 1
                     if out_f:
+                        try:
+                            out_f.write(json.dumps(record, ensure_ascii=False) + "\n")
+                            out_f.flush()
+                        except OSError:
+                            pass  # streaming is best-effort; results[] holds it
+            else:
+                record = {"request": payload, "response": body}
+                results[i] = record
+                unfinished -= 1
+                status.num_tasks_succeeded += 1
+                if out_f:
+                    try:
                         out_f.write(json.dumps(record, ensure_ascii=False) + "\n")
                         out_f.flush()
+                    except OSError:
+                        pass  # streaming is best-effort; results[] holds it
             finally:
                 status.num_tasks_in_progress -= 1
             queue.task_done()

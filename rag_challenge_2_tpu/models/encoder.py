@@ -191,16 +191,35 @@ class EmbeddingModel:
             pending.append((self.embed_tokens(jnp.asarray(ids)), len(chunk)))
         return pending
 
-    def embed(self, texts, batch_size: int = 256) -> np.ndarray:
-        pending = self._embed_pending(texts, batch_size)
-        outs = [np.asarray(o)[:n] for o, n in pending]
+    def embed(self, texts, batch_size: int = 256, max_in_flight: int = 8) -> np.ndarray:
+        # bounded pipeline: dispatch overlaps host tokenization, but only
+        # ``max_in_flight`` device output buffers coexist — an unbounded
+        # pending list holds the ENTIRE corpus embedding matrix on device
+        # at once (≈4 GB f32 at 1M chunks) before the first pull
+        outs: list = []
+        window: list = []
+        for s in range(0, len(texts), batch_size):
+            chunk = texts[s : s + batch_size]
+            ids = tokenize_batch(
+                chunk, self.cfg.max_len, self.cfg.vocab_bits, bucket_len=True
+            )
+            bucket = self._bucket(len(chunk), batch_size)
+            if len(chunk) < bucket:
+                ids = np.pad(ids, ((0, bucket - len(chunk)), (0, 0)), constant_values=-1)
+            window.append((self.embed_tokens(jnp.asarray(ids)), len(chunk)))
+            if len(window) >= max_in_flight:
+                o, n = window.pop(0)
+                outs.append(np.asarray(o)[:n])
+        outs.extend(np.asarray(o)[:n] for o, n in window)
         return np.concatenate(outs) if outs else np.zeros((0, self.cfg.out_dim), np.float32)
 
     def embed_device(self, texts, batch_size: int = 256) -> jax.Array:
         """`embed` without the device→host pull: embeddings stay resident
         for a consumer that runs on device anyway (QueryEngine.search
         accepts them directly), saving two relay round-trips per query on
-        the serving path."""
+        the serving path.  Meant for QUERY-scale batches — the full result
+        lives on device, so corpus-scale embedding should use `embed`
+        (bounded in-flight window)."""
         pending = self._embed_pending(texts, batch_size)
         outs = [o[:n] for o, n in pending]
         if not outs:

@@ -344,22 +344,43 @@ class QueryEngine:
         self._valid_np = np.asarray(index.valid)
         self._page_np = np.asarray(index.page)
         self._mask_cache: Dict[tuple, tuple] = {}
+        # doc_masks mutates the cache (LRU refresh + eviction); concurrent
+        # webapp sessions share one engine, so cache ops take this lock
+        import threading
+
+        self._cache_lock = threading.Lock()
         # per-doc contiguous row ranges → traversal hops run doc-windowed
         # (traverse_windowed); window=0 disables if any doc is fragmented
         valid = self._valid_np
         self._doc_ranges: Dict[int, Tuple[int, int]] = {}
         self.window = 0
         longest = 0
-        for d in range(index.n_docs):
-            rows = np.nonzero(valid & (self._doc_ids_np == d))[0]
-            if rows.size == 0:
-                continue
-            if rows[-1] - rows[0] + 1 != rows.size:
+        # single pass over the valid rows: doc boundaries are the points
+        # where the (already doc-grouped, when contiguous) id column
+        # changes — O(N), not O(n_docs × N)
+        vrows = np.flatnonzero(valid)
+        if vrows.size:
+            vdocs = self._doc_ids_np[vrows]
+            cuts = np.flatnonzero(np.diff(vdocs)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [vrows.size]))
+            seen: set = set()
+            ok = True
+            for s0, e0 in zip(starts, ends):
+                d = int(vdocs[s0])
+                if d in seen:        # doc appears in two runs → fragmented
+                    ok = False
+                    break
+                seen.add(d)
+                first, last = int(vrows[s0]), int(vrows[e0 - 1])
+                if last - first + 1 != e0 - s0:  # holes inside the run
+                    ok = False
+                    break
+                self._doc_ranges[d] = (first, e0 - s0)
+                longest = max(longest, e0 - s0)
+            if not ok:
                 self._doc_ranges = {}
                 longest = 0
-                break
-            self._doc_ranges[d] = (int(rows[0]), int(rows.size))
-            longest = max(longest, int(rows.size))
         if longest:
             self.window = min(-(-longest // 128) * 128, index.n_pad)
 
@@ -394,19 +415,18 @@ class QueryEngine:
     ) -> List[int]:
         """Doc ids matching the (company, years) route, reference order.
 
-        Pure host computation over the routing columns — same semantics as
-        `routing.route_mask` (company filter; year filter with fall-back to
-        all company docs, reference src/retrieval.py:125-128) without any
-        device round-trip."""
+        The SAME routing core as the device path (`routing.route_core`),
+        executed on host copies of the routing columns — no device
+        round-trip, no duplicated semantics."""
+        from .routing import route_core
+
         cid = self.meta.company_id(company) if company is not None else None
         if company is not None and cid < 0:
             raise ValueError(f"No report found with '{company}' company name.")
-        base = self._valid_np if cid is None else self._valid_np & (self._company_np == cid)
-        mask = base
-        if selected_years:
-            ymask = base & np.isin(self._year_np, list(selected_years))
-            if ymask.any():
-                mask = ymask
+        mask = route_core(
+            np, self._valid_np, self._company_np, self._year_np,
+            cid, selected_years,
+        )
         return sorted(set(self._doc_ids_np[mask].tolist()))
 
     def doc_masks(
@@ -430,10 +450,11 @@ class QueryEngine:
                 stacklevel=2,
             )
         key = (tuple(doc_ids), max_docs)
-        cached = self._mask_cache.get(key)
-        if cached is not None:
-            self._mask_cache[key] = self._mask_cache.pop(key)  # LRU refresh
-            return cached
+        with self._cache_lock:
+            cached = self._mask_cache.get(key)
+            if cached is not None:
+                self._mask_cache[key] = self._mask_cache.pop(key)  # LRU refresh
+                return cached
         m = np.zeros((max_docs, self.index.n_pad), bool)
         v = np.zeros((max_docs,), bool)
         # slot id per corpus row (max_docs = unrouted) — lets the BM25
@@ -454,9 +475,10 @@ class QueryEngine:
         )
         # bounded LRU: each route holds ~(max_docs+1)·N device bytes; an
         # unbounded cache leaks HBM under many distinct year filters
-        self._mask_cache[key] = out
-        while len(self._mask_cache) > 16:
-            self._mask_cache.pop(next(iter(self._mask_cache)))
+        with self._cache_lock:
+            self._mask_cache[key] = out
+            while len(self._mask_cache) > 16:
+                self._mask_cache.pop(next(iter(self._mask_cache)))
         return out
 
     # -- search ----------------------------------------------------------

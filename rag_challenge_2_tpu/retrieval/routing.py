@@ -35,6 +35,38 @@ def extract_years_from_question(question: str, expand_window: bool = True) -> Li
     return sorted(set(years))
 
 
+def route_core(
+    xp,
+    valid,
+    company_col,
+    year_col,
+    company_id: Optional[int] = None,
+    years: Optional[Sequence[int]] = None,
+    fallback: str = "all",
+):
+    """The routing semantics, generic over the array module (``numpy`` for
+    the engine's host-side ``routed_docs``, ``jax.numpy`` for the fused
+    device mask) — ONE implementation, two execution sites."""
+    base = valid
+    if company_id is not None:
+        # company_id = -1 means "unknown company" (CorpusMeta.company_id miss):
+        # an empty mask, mirroring the reference's hard error for companies
+        # with no reports (reference src/retrieval.py:843-845).  None means
+        # "no company filter" (retrieve_all).
+        base = base & (company_col == company_id)
+
+    if years:
+        ymask = base & xp.isin(year_col, xp.asarray(list(years)))
+        # fall back to all company docs when the year filter is empty
+        return xp.where(xp.any(ymask), ymask, base)
+
+    if fallback == "latest":
+        latest = xp.max(xp.where(base, year_col, -1))
+        lmask = base & (year_col == latest)
+        return xp.where(latest >= 0, lmask, base)
+    return base
+
+
 def route_mask(
     index: CorpusIndex,
     company_id: Optional[int] = None,
@@ -51,22 +83,7 @@ def route_mask(
         ``"latest"`` keeps only the newest year present (reference :131-155).
     Rows with unknown year (-1) participate only in the no-year fallback.
     """
-    base = index.valid
-    if company_id is not None:
-        # company_id = -1 means "unknown company" (CorpusMeta.company_id miss):
-        # an empty mask, mirroring the reference's hard error for companies
-        # with no reports (reference src/retrieval.py:843-845).  None means
-        # "no company filter" (retrieve_all).
-        base = base & (index.company_id == company_id)
-
-    if years:
-        yrs = jnp.asarray(list(years), jnp.int32)
-        ymask = base & jnp.isin(index.year, yrs)
-        # fall back to all company docs when the year filter is empty
-        return jnp.where(jnp.any(ymask), ymask, base)
-
-    if fallback == "latest":
-        latest = jnp.max(jnp.where(base, index.year, -1))
-        lmask = base & (index.year == latest)
-        return jnp.where(latest >= 0, lmask, base)
-    return base
+    return route_core(
+        jnp, index.valid, index.company_id, index.year,
+        company_id, years, fallback,
+    )

@@ -135,10 +135,18 @@ const TABS = [
  ["提示词", r => esc(JSON.stringify(r.prompt_info || {}, null, 2))],
  ["耗时", r => esc(JSON.stringify(r.timing || {}, null, 2))],
 ];
-function esc(s){const d=document.createElement('div');d.textContent=s;return d.innerHTML;}
+function esc(s){const d=document.createElement('div');d.textContent=s;
+  return d.innerHTML.replace(/"/g,'&quot;').replace(/'/g,'&#39;');}
 function pageLink(sha1, page) {
-  return `<a href="#" onclick="showPage('${esc(String(sha1))}',${+page});return false">${esc(String(page))}</a>`;
+  // sha1 is a document FILENAME — it rides in a data attribute (esc is
+  // quote-safe) instead of being spliced into inline JS, where a quote
+  // in the name would break the handler or inject markup
+  return `<a href="#" class="pg" data-sha1="${esc(String(sha1))}" data-page="${+page}">${esc(String(page))}</a>`;
 }
+document.addEventListener('click', e => {
+  const a = e.target.closest('a.pg');
+  if (a) { e.preventDefault(); showPage(a.dataset.sha1, +a.dataset.page); }
+});
 async function showPage(sha1, page) {
   const r = await fetch(`/api/page?doc=${encodeURIComponent(sha1)}&page=${page}`);
   const d = await r.json();

@@ -88,17 +88,16 @@ def build_csr_native(
     buf, offsets = _pack(texts)
     n = len(texts)
     V = 1 << vocab_bits
-    _build_lock.acquire()
-    nnz = lib.csr_build(
-        buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        np.int32(n), np.int32(vocab_bits),
-    )
-    indptr = np.zeros(V + 1, np.int64)
-    chunk_ids = np.zeros(max(nnz, 1), np.int32)
-    tf = np.zeros(max(nnz, 1), np.float32)
-    df = np.zeros(V, np.float32)
-    chunk_len = np.zeros(max(n, 1), np.float32)
-    try:
+    with _build_lock:  # covers BOTH phases and the allocations between
+        nnz = lib.csr_build(
+            buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            np.int32(n), np.int32(vocab_bits),
+        )
+        indptr = np.zeros(V + 1, np.int64)
+        chunk_ids = np.zeros(max(nnz, 1), np.int32)
+        tf = np.zeros(max(nnz, 1), np.float32)
+        df = np.zeros(V, np.float32)
+        chunk_len = np.zeros(max(n, 1), np.float32)
         lib.csr_collect(
             indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             chunk_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -106,8 +105,6 @@ def build_csr_native(
             df.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             chunk_len.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
-    finally:
-        _build_lock.release()
     return indptr, chunk_ids[:nnz], tf[:nnz], df, chunk_len[:n]
 
 
