@@ -161,7 +161,10 @@ async def process_api_requests(
         workers = [asyncio.create_task(worker(session)) for _ in range(16)]
         await asyncio.gather(*workers)
     if out_f:
-        out_f.close()
+        try:
+            out_f.close()
+        except OSError:
+            pass  # best-effort streaming; results[] is authoritative
     return [r for r in results if r is not None]
 
 

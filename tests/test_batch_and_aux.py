@@ -162,3 +162,26 @@ def test_canvas_heatmap_downsamples_large_matrices(tmp_path):
     body = out.read_text(encoding="utf-8")
     assert "N=256" in body.replace(" ", "")
     assert len(body) < 400_000  # 8-bit + base64, not raw floats
+
+
+def test_batch_survives_streaming_write_failure(llm_server):
+    """A jsonl streaming-write failure must not re-queue a finalized
+    request (which would double-decrement the worker exit counter and
+    silently drop the rest of the queue) — results stay complete."""
+    import asyncio
+    from pathlib import Path
+
+    from rag_challenge_2_tpu.llm.batch import process_api_requests
+
+    dev_full = Path("/dev/full")
+    if not dev_full.exists():
+        pytest.skip("/dev/full not available")
+    reqs = [{
+        "model": "m", "messages": [{"role": "system", "content": "s"},
+                                   {"role": "user", "content": f"q{i}"}],
+    } for i in range(6)]
+    out = asyncio.run(process_api_requests(
+        reqs, llm_server, "k", results_path=dev_full, max_attempts=2,
+    ))
+    assert len(out) == 6
+    assert all("response" in r for r in out), out

@@ -135,3 +135,33 @@ def test_ask_expansion_config_passthrough(webapp):
     html = urllib.request.urlopen(url + "/").read().decode()
     assert "expand_top_k" in html and "tokenEstimate" in html
     assert "Token 预估" in html
+
+
+def test_eval_run_survives_failing_question(tiny_corpus, rng):
+    """One question whose pipeline raises must not discard the batch —
+    the record carries an error and the rest are answered and judged."""
+    from tests.test_qa import make_processor, BASE_SCRIPT
+    from rag_challenge_2_tpu.serving.webapp import QAWebApp
+
+    proc, provider = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    provider.scripted["评审"] = json.dumps(
+        {"score": 1.0, "reasoning": "ok", "is_correct": True}, ensure_ascii=False
+    )
+    app = QAWebApp(proc, default_company="金盘科技")
+    orig_ask = app.ask
+
+    def flaky(payload):
+        if "炸" in payload.get("question", ""):
+            raise RuntimeError("boom")
+        return orig_ask(payload)
+
+    app.ask = flaky
+    out = app.eval_run({"records": [
+        {"question": "金盘科技2024年营业收入是多少", "standard": "68.9"},
+        {"question": "炸一下", "standard": "x"},
+    ]})
+    recs = out.get("records", out.get("results", []))
+    assert len(recs) == 2
+    errs = [r for r in recs if r.get("error")]
+    assert len(errs) == 1 and "boom" in errs[0]["error"]
+    assert any(r.get("rag_answer") for r in recs), recs
