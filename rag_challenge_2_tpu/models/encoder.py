@@ -129,19 +129,29 @@ def tokenize_batch(
     ``bucket_len=True`` pads L to the next power of two ≥ the batch's
     longest text (min 32, cap max_len) instead of always max_len: a
     300-token chunk corpus then runs 256-wide attention instead of
-    512-wide — ~2× the FLOPs saved, log-many compiled shapes."""
-    id_lists = [tok.token_ids(t, vocab_bits)[:max_len] for t in texts]
-    L = max_len
+    512-wide — ~2× the FLOPs saved, log-many compiled shapes.
+
+    Tokenization runs through the C++ tokenizer when available (ids are
+    byte-identical to the Python path, tested in test_native) — measured
+    as THE corpus-embedding bottleneck otherwise (~2.3k chunks/s Python
+    vs ~5.6k chunks/s for the encoder forward at 300-token chunks)."""
+    from ..utils.native import tokenize_queries_native
+
+    texts = list(texts)
+    out = tokenize_queries_native(texts, vocab_bits, max_len)
+    if out is None:  # pure-Python fallback (no toolchain)
+        id_lists = [tok.token_ids(t, vocab_bits)[:max_len] for t in texts]
+        out = np.full((len(texts), max_len), -1, np.int32)
+        for i, ids in enumerate(id_lists):
+            out[i, : len(ids)] = ids
     if bucket_len:
-        longest = max((len(x) for x in id_lists), default=1)
+        lens = (out >= 0).sum(axis=1)
+        longest = int(lens.max()) if len(texts) else 1
         L = 32
-        while L < longest:
+        while L < max(longest, 1):
             L *= 2
-        L = min(L, max_len)
-    out = np.full((len(texts), L), -1, np.int32)
-    for i, ids in enumerate(id_lists):
-        out[i, : len(ids)] = ids
-    return out
+        out = out[:, : min(L, max_len)]
+    return np.ascontiguousarray(out)
 
 
 class EmbeddingModel:
