@@ -537,7 +537,7 @@ def bench_encoder(extras):
         f"研发费用同比增长情况及储能业务新签订单金额说明。" for i in range(2048)
     ]
     t0 = time.perf_counter()
-    model.embed(texts[:256])  # compile + settle
+    model.embed(texts[:512])  # compile + settle
     log(f"encoder compile+first batch: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     out = model.embed(texts)

@@ -24,7 +24,7 @@ class CorpusIngestor:
     def __init__(
         self,
         embedder: Callable[[List[str]], np.ndarray],
-        batch_size: int = 256,
+        batch_size: int = 512,
         with_sparse: bool = True,
         vocab_bits: int = 20,
     ):

@@ -201,7 +201,7 @@ class EmbeddingModel:
             pending.append((self.embed_tokens(jnp.asarray(ids)), len(chunk)))
         return pending
 
-    def embed(self, texts, batch_size: int = 256, max_in_flight: int = 8) -> np.ndarray:
+    def embed(self, texts, batch_size: int = 512, max_in_flight: int = 8) -> np.ndarray:
         # bounded pipeline: dispatch overlaps host tokenization, but only
         # ``max_in_flight`` device output buffers coexist — an unbounded
         # pending list holds the ENTIRE corpus embedding matrix on device
