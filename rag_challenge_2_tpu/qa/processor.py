@@ -518,11 +518,11 @@ class QuestionsProcessor:
         timing["generate_answer"] = time.perf_counter() - t0
         timing["total_time"] = time.perf_counter() - total0
 
-        # validate the pages the answering model actually cited (reference
-        # src/questions_processing.py:536-568 validates the CLAIMED pages,
-        # dropping hallucinated ones); stage-1 selection is the fallback
+        # validated stage-1 selection first, the answer's claimed pages only
+        # as fallback (reference src/questions_processing.py:907 prefers
+        # validated_selected_pages; :536-568 then drops hallucinated ones)
         validated_pages = self._validate_page_references(
-            answer.get("relevant_pages") or validated_selected, results
+            validated_selected or answer.get("relevant_pages"), results
         )
         answer["relevant_pages"] = validated_pages
         if cfg.expand_upstream and page_groups:

@@ -384,24 +384,29 @@ class QueryEngine:
         if longest:
             self.window = min(-(-longest // 128) * 128, index.n_pad)
 
-    def build_ivf(self, **kwargs):
+    def build_ivf(self, quantize: Optional[bool] = None, **kwargs):
         """Cluster the corpus for SearchConfig(use_ivf=True) queries.
 
         The resident device matrix is consumed directly — no host
         round-trip of the corpus (build_ivf keeps it on device).  An int8
         row store is dequantized on device for clustering (k-means on raw
         int8 codes would use the wrong geometry and ivf_search would
-        crash on the missing row_scale) and the built index is
-        re-quantized, preserving the int8 memory story; the f32 corpus
-        exists only transiently during the build."""
+        crash on the missing row_scale); the f32 corpus exists only
+        transiently during the build.
+
+        ``quantize`` controls the probe store over an int8 corpus:
+        ``None`` (default) keeps the faster, higher-recall f32 probe
+        (measured on v5e: f32 10.8k qps / recall 0.935 vs int8 8.3k /
+        0.886 — DESIGN.md); ``True`` re-quantizes the IVF to int8,
+        trading that for 4× less probe HBM.  Ignored for f32 corpora."""
         from ..index.ivf import build_ivf, quantize_ivf
 
         emb = self.index.emb
         if self.index.emb_scale is not None:
             emb = emb.astype(jnp.float32) * self.index.emb_scale[:, None]
-            self.ivf = quantize_ivf(
-                build_ivf(emb, valid=self.index.valid, **kwargs)
-            )
+            self.ivf = build_ivf(emb, valid=self.index.valid, **kwargs)
+            if quantize:
+                self.ivf = quantize_ivf(self.ivf)
         else:
             self.ivf = build_ivf(emb, valid=self.index.valid, **kwargs)
         return self.ivf

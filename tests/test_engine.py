@@ -269,15 +269,22 @@ def test_windowed_falls_back_when_topk_exceeds_window(engine, rng):
 
 def test_ivf_on_int8_store(engine, rng):
     """build_ivf on an int8 row store must dequantize for clustering and
-    produce a searchable (re-quantized) IVF — RunConfig(use_ivf=True,
-    quantize_int8=True) previously crashed on a missing row_scale."""
+    default to the faster f32 probe (DESIGN.md measurement); quantize=True
+    opts into the int8 probe — RunConfig(use_ivf=True, quantize_int8=True)
+    previously crashed on a missing row_scale."""
     from rag_challenge_2_tpu.index.store import quantize_index
 
     eng, reports, embs = engine
     eng8 = QueryEngine(quantize_index(eng.index), eng.meta)
-    ivf = eng8.build_ivf(n_clusters=4, iters=6)
-    assert ivf.emb_perm.dtype.name == "int8" and ivf.row_scale is not None
     q = _q_for(embs, 0, 5, rng)
     cfg = SearchConfig(method="basic", top_k=5, top_n=10, use_ivf=True, ivf_nprobe=4)
+
+    ivf = eng8.build_ivf(n_clusters=4, iters=6)  # default: f32 probe
+    assert ivf.emb_perm.dtype.name == "float32" and ivf.row_scale is None
     res = eng8.materialize(eng8.search(q, "金盘科技", cfg=cfg), cfg)
     assert res and res[0]["rep_row"] == 5
+
+    ivf8 = eng8.build_ivf(n_clusters=4, iters=6, quantize=True)
+    assert ivf8.emb_perm.dtype.name == "int8" and ivf8.row_scale is not None
+    res8 = eng8.materialize(eng8.search(q, "金盘科技", cfg=cfg), cfg)
+    assert res8 and res8[0]["rep_row"] == 5
