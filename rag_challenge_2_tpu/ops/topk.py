@@ -24,6 +24,28 @@ import jax.numpy as jnp
 
 NEG_INF = -3.0e38  # plain float so Pallas kernels don't capture a traced const
 
+# Row count above which the exact scan switches from one [B, N] score
+# materialization + one huge top_k to `twostage_topk`.  Profiled at
+# 10M×1024 int8, B=127 on v5e: the matmul itself is 24 ms (compute-bound,
+# ~111 TF/s) but `lax.top_k` over the [127, 10M] scores adds another
+# 52 ms — 2/3 of the whole call (79 ms total, 1598 qps, BENCH_r02).
+# Blockwise scanning does NOT fix this (top_k cost is per-element:
+# measured 1458-1529 qps); shrinking the top_k DOMAIN does.
+BLOCK_ROWS = 1 << 20
+_BLOCKED_MIN_ROWS = 2 * BLOCK_ROWS
+TWOSTAGE_GROUP = 256
+# Column count above which a caller holding an already-materialized score
+# matrix should prefer twostage_from_scores over one lax.top_k: the sort
+# is ~10× the cost of the group-max read per element, but below ~half a
+# million columns both are dispatch-latency noise.
+TWOSTAGE_MIN_COLS = 1 << 19
+# Max group-max output columns per reduce_window call (see
+# twostage_from_scores): Mosaic's scoped-VMEM footprint for a strided
+# reduce_window is ~2.4 × group × out_cols × 4 B (measured from its own
+# OOM reports at 10M×1024/B=127), and the budget is 16 MB — 2048 output
+# columns keeps a 256-group reduce at ~5 MB.
+_GMAX_OUT_COLS = 2048
+
 
 def _mask_scores(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
     if mask is None:
@@ -31,6 +53,220 @@ def _mask_scores(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
     if mask.ndim == 1:
         mask = mask[None, :]
     return jnp.where(mask, scores, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "group"))
+def twostage_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    row_scale: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    group: int = TWOSTAGE_GROUP,
+) -> Tuple[jax.Array, jax.Array]:
+    """EXACT top-k that never runs ``lax.top_k`` over the full ``[B, N]``.
+
+    Profiled at 10M×1024 int8, B=127 (v5e): the int8 matmul is 24 ms
+    (compute-bound) but ``lax.top_k`` over the [127, 10M] scores adds
+    another 52 ms.  Here the scores are materialized ONCE (exactly as the
+    one-shot kernel does — the write overlaps the matmul), then:
+
+    * Stage 1: per-group maxima via a strided ``reduce_window`` (one
+      linear read of the scores; a reshape-based reduce would force XLA
+      to COPY the 5 GB score matrix for re-tiling — measured OOM).
+    * Stage 2: ``top_k`` over the ``[B, N/L]`` group maxima.
+    * Stage 3: gather the winning groups' score columns and run the
+      exact ``top_k`` over ``[B, k·L]``.
+
+    Exactness: every true top-k element's group-max is ≥ that element, so
+    its group survives stage 2 — the k groups with the largest maxima
+    contain all top-k elements (they occupy ≤ k groups, and any group
+    they occupy beats any unselected group).  Tie-break parity with the
+    one-shot ``lax.top_k`` (lowest index first): group ids are sorted
+    ascending before the gather, so stage-3 candidates are in ascending
+    global row order.  Values are bit-identical — stage 3 reads the SAME
+    materialized scores the one-shot path sorts.
+
+    A non-divisible tail (``N % group``) is handled by always including
+    the tail rows as stage-3 candidates — any N works.
+
+    Args/returns as :func:`blocked_topk`.
+    """
+    if emb.dtype == jnp.int8:
+        from .quant import int8_scores
+
+        scores = int8_scores(q, emb, row_scale)
+    else:
+        scores = jnp.dot(
+            q, emb.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return twostage_from_scores(_mask_scores(scores, mask), k, group=group)
+
+
+def large_topk_from_scores(
+    scores: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """``lax.top_k`` semantics over a wide materialized score matrix
+    without sorting all columns: routes to the PartialReduce two-stage
+    (ops/partial_topk — the fused bin-max reads the scores once; measured
+    the only fast stage 1 on the TPU backend) when the probed bin model
+    verifies, else to the reduce_window two-stage (CPU)."""
+    from .partial_topk import partial_from_scores, probe_bin_model
+
+    n = scores.shape[-1]
+    model = probe_bin_model(n, min(k, n))
+    if model is not None:
+        return partial_from_scores(scores, k, model)
+    return twostage_from_scores(scores, k)
+
+
+def twostage_from_scores(
+    scores: jax.Array, k: int, group: int = TWOSTAGE_GROUP
+) -> Tuple[jax.Array, jax.Array]:
+    """Stages 1-3 of :func:`twostage_topk` over an already-materialized
+    ``[B, N]`` score matrix — exact ``lax.top_k(scores, k)`` semantics
+    (values AND lowest-index tie-breaks) without ever sorting N columns.
+    Callers that build their scores differently (the engine's shared-scores
+    ``pair_topk`` windowed slices, retrieval/engine.py) reuse this."""
+    B, N = scores.shape
+    group = min(group, N)
+    G = N // group
+    n_main = G * group
+    tail = N - n_main
+    k = min(k, N)
+    kg = min(k, G)
+    # One reduce_window over all N columns compile-fails on TPU: Mosaic
+    # keeps the whole [B, G] output tile in scoped VMEM and [127, 39062]
+    # f32 (20.5 MB) exceeds the 16 MB budget.  Chunking the columns caps
+    # each output tile at [B, _GMAX_OUT_COLS] (≤4 MB at B=127) — XLA still
+    # fuses each slice+reduce, so the scores stream through VMEM once.
+    out_cols = _GMAX_OUT_COLS
+    col_chunk = out_cols * group
+    gparts = []
+    for s in range(0, n_main, col_chunk):
+        e = min(s + col_chunk, n_main)
+        gparts.append(jax.lax.reduce_window(
+            scores[:, s:e], NEG_INF, jax.lax.max,
+            window_dimensions=(1, group), window_strides=(1, group),
+            padding="VALID",
+        ))
+    gmax = gparts[0] if len(gparts) == 1 else jnp.concatenate(gparts, axis=1)
+    # [B, G]
+
+    _, gids = jax.lax.top_k(gmax, kg)                          # [B, kg]
+    gids = jnp.sort(gids, axis=1)                              # ascending rows
+    cand = (gids[:, :, None] * group
+            + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+            ).reshape(B, kg * group)                           # [B, kg*L]
+    if tail:
+        # the tail rows belong to no full group; always candidates.  They
+        # have the HIGHEST row ids, so appending keeps ascending order —
+        # tie-break parity with the one-shot top_k is preserved.
+        tail_idx = jnp.broadcast_to(
+            jnp.arange(n_main, N, dtype=jnp.int32)[None, :], (B, tail)
+        )
+        cand = jnp.concatenate([cand, tail_idx], axis=1)
+    cs = jnp.take_along_axis(scores, cand, axis=1)
+    vals, j = jax.lax.top_k(cs, k)
+    idx = jnp.take_along_axis(cand, j, axis=1).astype(jnp.int32)
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def blocked_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    row_scale: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    block: int = BLOCK_ROWS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k by scanning row blocks with a running merge.
+
+    Bit-identical to the one-shot ``[B, N]`` materialization (same scores,
+    same lowest-index tie-break: per-block ``top_k`` prefers lower local
+    indices, and the carry — earlier blocks — is concatenated first in the
+    merge), but the score buffer alive at any moment is ``[B, block]`` and
+    every sort runs over ``block`` columns instead of N.  This is the
+    "[B, N] scores stop fitting" regime the Pallas kernels were shelved
+    for (the win condition documented below in :func:`dense_topk`):
+    materializing [127, 10M] f32 costs 5 GB of HBM write+read plus a
+    10M-column sort per query — the measured 5-6× gap to the int8 scan's
+    bandwidth roofline (BENCH_r02).
+
+    Args:
+        q: ``[B, D]`` f32/bf16 queries.
+        emb: ``[N, D]`` corpus rows — f32, bf16, or int8 (with row_scale).
+        row_scale: ``[N]`` f32 dequant scales iff ``emb`` is int8.
+        mask: optional ``[N]`` or ``[B, N]`` bool routing mask.
+        block: static rows per scan step (the last block clamps and
+            re-masks, so any N works without padding a 10 GB buffer).
+
+    Returns ``(values [B, k] f32, indices [B, k] i32)``, descending.
+    """
+    B, D = q.shape
+    N = emb.shape[0]
+    block = min(block, N)
+    k = min(k, N)
+    n_blocks = -(-N // block)
+    int8 = emb.dtype == jnp.int8
+    if int8:
+        from .quant import quantize_rows
+
+        q_i8, q_scale = quantize_rows(q.astype(jnp.float32))
+
+    def step(carry, i):
+        top_v, top_i = carry
+        start = i * block
+        # clamp so the slice always fits; positions before `start` were
+        # already covered by the previous block and are masked out below
+        sa = jnp.minimum(start, N - block)
+        eb = jax.lax.dynamic_slice(emb, (sa, jnp.int32(0)), (block, D))
+        if int8:
+            acc = jax.lax.dot_general(
+                q_i8, eb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # 2-D slice form: 1-D dynamic_slice with traced starts has a
+            # known miscompile on the axon TPU backend (see traversal.py)
+            sb = jax.lax.dynamic_slice(
+                row_scale[:, None], (sa, jnp.int32(0)), (block, 1)
+            )[:, 0]
+            s = acc.astype(jnp.float32) * q_scale[:, None] * sb[None, :]
+        else:
+            s = jnp.dot(
+                q, eb.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        pos = sa + jnp.arange(block, dtype=jnp.int32)
+        ok = pos >= start                      # dedup the tail-clamp overlap
+        if mask is not None:
+            if mask.ndim == 1:
+                mb = jax.lax.dynamic_slice(
+                    mask[:, None], (sa, jnp.int32(0)), (block, 1)
+                )[:, 0]
+                ok = ok & mb
+                s = jnp.where(ok[None, :], s, NEG_INF)
+            else:
+                mb = jax.lax.dynamic_slice(
+                    mask, (jnp.int32(0), sa), (B, block)
+                )
+                s = jnp.where(ok[None, :] & mb, s, NEG_INF)
+        else:
+            s = jnp.where(ok[None, :], s, NEG_INF)
+        v, j = jax.lax.top_k(s, k)
+        cv = jnp.concatenate([top_v, v], axis=1)
+        ci = jnp.concatenate([top_i, (sa + j).astype(jnp.int32)], axis=1)
+        nv, nj = jax.lax.top_k(cv, k)
+        return (nv, jnp.take_along_axis(ci, nj, axis=1)), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(step, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return vals, idx
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -82,11 +318,28 @@ def dense_topk(
         # Measured on v5e (500k-2M x 1024): XLA's fused matmul+top_k beats
         # both Pallas variants (grid and manual-DMA streaming) at every
         # scale tried — 168 GB/s f32 / 102 GB/s bf16 vs 88-158 GB/s — so
-        # auto always routes to XLA.  The Pallas kernels remain available
-        # explicitly (impl="pallas", ops.pallas_topk_stream) as the base
-        # for future tuning; their win condition is corpora where the
-        # [B, N] score materialization stops fitting in HBM.
-        impl = "xla"
+        # auto routes to XLA, and above _BLOCKED_MIN_ROWS to the exact
+        # PartialReduce two-stage (lax.top_k over huge N is the dominant
+        # cost there — 152.6 vs 23.8 ms at [127, 10M]; ops/partial_topk).
+        # The Pallas kernels remain available explicitly (impl="pallas",
+        # ops.pallas_topk_stream) as the base for future tuning.
+        impl = "twostage" if n >= _BLOCKED_MIN_ROWS else "xla"
+    if impl == "twostage":
+        from .partial_topk import probe_bin_model
+
+        if probe_bin_model(n, k) is not None:
+            # f32/bf16 keep the materialized-scores variant: stage 3 reads
+            # the SAME scores the one-shot sorts, so values stay
+            # bit-identical (a fused re-score would re-accumulate f32 in a
+            # different order)
+            scores = jnp.dot(
+                q, emb.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return large_topk_from_scores(_mask_scores(scores, mask), k)
+        return twostage_topk(q, emb, k, mask=mask)
+    if impl == "blocked":
+        return blocked_topk(q, emb, k, mask=mask)
     if impl == "pallas":
         from .pallas_topk import pallas_dense_topk
 
