@@ -66,6 +66,36 @@ class SparseIndex:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class ShardedSparseIndex:
+    """Row-range-sharded BM25 index: one CSR per dense shard.
+
+    Multi-chip sparse story (SURVEY.md §2.3 "BM25 CSR shards live
+    alongside dense shards"): postings are partitioned by CHUNK row range
+    so every corpus row's postings live entirely on the shard that holds
+    its dense rows — per-shard BM25 totals are complete (no cross-shard
+    partial sums) and merge with the same all-gather top-k as the dense
+    path.  Leading axis S stacks the per-shard CSRs; placed with
+    ``PartitionSpec(axis, None)`` over the mesh, GSPMD keeps each shard's
+    gather/sort local and inserts the collective only at the final merge.
+
+    Global statistics (``df`` for idf, ``chunk_len``/``avgdl`` for length
+    normalization) stay replicated — scores are bit-comparable to the
+    unsharded kernel.
+    """
+
+    indptr: jax.Array      # i32 [S, V + 1]
+    chunk_ids: jax.Array   # i32 [S, L] — GLOBAL corpus rows, zero-padded
+    tf: jax.Array          # f32 [S, L]
+    df: jax.Array          # f32 [V]       (global, replicated)
+    chunk_len: jax.Array   # f32 [N_pad]   (global, replicated)
+    avgdl: jax.Array       # f32 scalar
+    vocab_bits: int = dataclasses.field(metadata=dict(static=True), default=20)
+    max_postings: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class CorpusIndex:
     """The whole searchable corpus as one pytree of device arrays."""
 
