@@ -31,7 +31,7 @@ import numpy as np
 
 from ..index.schema import CorpusIndex, CorpusMeta
 from ..ops.aggregate import FusedCandidates, fuse_hits
-from ..ops.topk import NEG_INF
+from ..ops.topk import NEG_INF, TWOSTAGE_MIN_COLS
 from .traversal import emit_hits, traverse, traverse_windowed
 
 METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}
@@ -40,6 +40,13 @@ METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}
 HYBRID_BASIC_K = 50
 HYBRID_SSG_ANCHORS = 10
 HYBRID_TRI_ANCHORS = 20
+
+# Windowed traversal slices each doc's rows once ([M, W, D] copies of the
+# corpus, traversal.traverse_windowed) — a ~6× hop speedup at the val-set
+# shape, but at 10M-row/1.67M-window corpora those slices total a full
+# corpus duplicate in HBM.  Above this copy budget the engine falls back
+# to the masked full-corpus `traverse` (identical results, no copy).
+TRAVERSAL_WINDOW_COPY_CAP = 4 << 30
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,6 +128,12 @@ def search_device(
     emb = index.emb
     details: Dict = {}
     use_window = window > 0 and win_start is not None and win_len is not None
+    # traversal's per-doc window COPIES are budgeted (pair_topk's windowed
+    # top-k only slices the score matrix and stays on regardless)
+    use_window_trav = (
+        use_window
+        and M * window * D * emb.dtype.itemsize <= TRAVERSAL_WINDOW_COPY_CAP
+    )
 
     # (query, doc) anchor grid: A = Q*M
     pair_mask = doc_masks[None, :, :] & q_valid[:, None, None] & doc_valid[None, :, None]
@@ -165,7 +178,17 @@ def search_device(
                 wmask[:, None, :] & q_valid[None, :, None] & doc_valid[:, None, None],
                 s, NEG_INF,
             )
-            v, r_loc = jax.lax.top_k(s.reshape(M * Q, window), k)
+            if window >= TWOSTAGE_MIN_COLS:
+                # huge per-doc windows (10M-corpus configs: W = N/M ≈
+                # 1.67M): one top_k over [M·Q, W] dominates the whole
+                # hybrid graph — same disease, same cure as the int8
+                # exact scan (ops/partial_topk; reduce_window fallback on
+                # backends without a verified PartialReduce layout)
+                from ..ops.topk import large_topk_from_scores
+
+                v, r_loc = large_topk_from_scores(s.reshape(M * Q, window), k)
+            else:
+                v, r_loc = jax.lax.top_k(s.reshape(M * Q, window), k)
             r_glob = r_loc + jnp.repeat(sa, Q)[:, None]
             vals = v.reshape(M, Q, k).transpose(1, 0, 2).reshape(Q * M, k)
             rows = r_glob.reshape(M, Q, k).transpose(1, 0, 2) \
@@ -217,7 +240,7 @@ def search_device(
         Returns ``(res, qids [·], qv [·, D])`` whose leading order is
         (m, q, n) on the windowed path and (q, m, n) otherwise — blocks
         only feed order-insensitive fusion, so the order is free."""
-        if use_window:
+        if use_window_trav:
             a_g = anchors_pm.reshape(Q, M, n).transpose(1, 0, 2).reshape(M, Q * n)
             qv_g = jnp.broadcast_to(
                 q.reshape(1, Q, 1, D), (M, Q, n, D)
@@ -277,15 +300,25 @@ def search_device(
         raise ValueError(f"unknown method {cfg.method!r}")
 
     if cfg.use_bm25 and q_terms is not None and index.sparse is not None:
+        from ..index.schema import ShardedSparseIndex
         from ..ops.bm25 import bm25_topk
 
         # sort+segment top-k over the gathered postings: cost scales with
         # B·T·window, never materializes a [Q, N] score matrix (20 ms →
         # ~1 ms at N=1.5M on v5e)
         k_bm = min(cfg.bm25_top_k, N)
-        bv_mqk, brows_mqk, ok_mqk = bm25_topk(
-            index.sparse, q_terms, doc_masks, k_bm, row_slot=row_slot
-        )
+        if isinstance(index.sparse, ShardedSparseIndex):
+            # multi-chip: CSR shards live beside the dense row shards;
+            # per-shard top-k + the same all-gather merge (SURVEY §2.3)
+            from ..parallel.sharded_sparse import sharded_bm25_topk
+
+            bv_mqk, brows_mqk, ok_mqk = sharded_bm25_topk(
+                index.sparse, q_terms, doc_masks, k_bm, row_slot=row_slot
+            )
+        else:
+            bv_mqk, brows_mqk, ok_mqk = bm25_topk(
+                index.sparse, q_terms, doc_masks, k_bm, row_slot=row_slot
+            )
         # [M, Q, k] → [Q*M, k] with row index q*M + m (matches qid_pair)
         bv = bv_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm)
         brows = brows_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm).astype(jnp.int32)

@@ -288,3 +288,42 @@ def test_ivf_on_int8_store(engine, rng):
     assert ivf8.emb_perm.dtype.name == "int8" and ivf8.row_scale is not None
     res8 = eng8.materialize(eng8.search(q, "金盘科技", cfg=cfg), cfg)
     assert res8 and res8[0]["rep_row"] == 5
+
+
+def test_traversal_window_copy_cap_fallback(engine, rng, monkeypatch):
+    """Above the traversal copy budget the engine must fall back to the
+    masked full-corpus traverse — identical results, no [M, W, D] corpus
+    slices (the 10M/1.67M-window regime where windowed slices would
+    duplicate the whole corpus in HBM)."""
+    import rag_challenge_2_tpu.retrieval.engine as eng_mod
+
+    eng, reports, embs = engine
+    q = _q_for(embs, 0, 5, rng)
+    # distinct shape (top_k=7) → fresh jit trace under the patched cap
+    cfg = SearchConfig(method="hybrid_expansion", top_k=7, top_n=12,
+                       max_hops=3, neighbor_k=5)
+    base = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    monkeypatch.setattr(eng_mod, "TRAVERSAL_WINDOW_COPY_CAP", 0)
+    capped = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    assert [r["rep_row"] for r in capped] == [r["rep_row"] for r in base]
+    for a, b in zip(capped, base):
+        assert abs(a["distance"] - b["distance"]) < 1e-4
+        assert a["method_count"] == b["method_count"]
+
+
+def test_windowed_pair_topk_twostage_parity(engine, rng, monkeypatch):
+    """Forcing the windowed pair_topk through twostage_from_scores must be
+    bit-identical to the one-shot top_k slice path (the 10M-corpus regime
+    where W >= TWOSTAGE_MIN_COLS routes there automatically)."""
+    import rag_challenge_2_tpu.retrieval.engine as eng_mod
+
+    eng, reports, embs = engine
+    q = _q_for(embs, 1, 3, rng)
+    cfg = SearchConfig(method="basic", top_k=9, top_n=14, use_bm25=True)
+    base = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    monkeypatch.setattr(eng_mod, "TWOSTAGE_MIN_COLS", 1)
+    forced = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    assert [r["rep_row"] for r in forced] == [r["rep_row"] for r in base]
+    for a, b in zip(forced, base):
+        assert abs(a["distance"] - b["distance"]) < 1e-6
+        assert a["method_count"] == b["method_count"]
