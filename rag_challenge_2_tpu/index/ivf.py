@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.kmeans import kmeans
+from ..ops.kmeans import assign_clusters, kmeans
 from ..ops.topk import NEG_INF
 
 
@@ -77,38 +77,10 @@ def build_ivf(
     assign = np.asarray(assign)
 
     if max_list_size:
-        assign = assign.copy()  # np.asarray of a jax array is read-only
-        cent_list = list(np.asarray(centroids))
-        # a sub-split can itself come out uneven; a few rounds converge
-        for _ in range(3):
-            counts = np.bincount(assign, minlength=len(cent_list))
-            oversized = np.nonzero(counts > max_list_size)[0]
-            if len(oversized) == 0:
-                break
-            for c in oversized:
-                members = np.nonzero(assign == c)[0]
-                k_sub = int(np.ceil(len(members) / max_list_size))
-                # pad the member count to a power of two so the sub-kmeans
-                # jit specializes O(log N) times, not per distinct size;
-                # pad rows CYCLE through the members so no single point is
-                # double-weighted during sub-clustering
-                pad_n = 1 << (len(members) - 1).bit_length()
-                pad_idx = members[np.arange(pad_n) % len(members)]
-                padded = x[jnp.asarray(pad_idx)]  # device gather
-                sub_c, sub_a = kmeans(
-                    padded, k_sub, iters=max(3, iters // 2),
-                    seed=seed + int(c) + 1,
-                )
-                sub_a = np.asarray(sub_a)[: len(members)]
-                sub_c = np.asarray(sub_c)
-                # first sub-cluster reuses slot c; the rest append
-                cent_list[c] = sub_c[0]
-                for j in range(1, k_sub):
-                    new_id = len(cent_list)
-                    cent_list.append(sub_c[j])
-                    assign[members[sub_a == j]] = new_id
-        K = len(cent_list)
-        centroids = jnp.asarray(np.stack(cent_list), jnp.float32)
+        centroids, assign = _balance_clusters(
+            x, assign, centroids, max_list_size, iters, seed
+        )
+        K = centroids.shape[0]
 
     order = np.argsort(assign, kind="stable")
     sorted_assign = assign[order]
@@ -138,6 +110,175 @@ def build_ivf(
         row_ids=jnp.asarray(row_ids),
         pos_cluster=jnp.asarray(pos_cluster),
         list_offsets=jnp.asarray(offsets, jnp.int32),
+        k_clusters=K,
+        max_list=int(counts.max()) if len(counts) else 0,
+        dim=D,
+    )
+
+
+def _balance_clusters(x, assign, centroids, max_list_size, iters, seed):
+    """Sub-split oversized clusters (the SOFT cap — see :func:`build_ivf`).
+
+    ``x`` are the vectors the assignments refer to — the full corpus in
+    :func:`build_ivf`, a training sample in :func:`build_ivf_streaming`
+    (where ``max_list_size`` is pre-scaled by the sample fraction).
+    Returns (centroids [K', D] device, assign [len(x)] np.int32)."""
+    assign = np.asarray(assign).copy()  # np view of a jax array is read-only
+    cent_list = list(np.asarray(centroids))
+    # a sub-split can itself come out uneven; a few rounds converge
+    for _ in range(3):
+        counts = np.bincount(assign, minlength=len(cent_list))
+        oversized = np.nonzero(counts > max_list_size)[0]
+        if len(oversized) == 0:
+            break
+        for c in oversized:
+            members = np.nonzero(assign == c)[0]
+            k_sub = int(np.ceil(len(members) / max_list_size))
+            # pad the member count to a power of two so the sub-kmeans
+            # jit specializes O(log N) times, not per distinct size;
+            # pad rows CYCLE through the members so no single point is
+            # double-weighted during sub-clustering
+            pad_n = 1 << (len(members) - 1).bit_length()
+            pad_idx = members[np.arange(pad_n) % len(members)]
+            padded = x[jnp.asarray(pad_idx)]  # device gather
+            sub_c, sub_a = kmeans(
+                padded, k_sub, iters=max(3, iters // 2),
+                seed=seed + int(c) + 1,
+            )
+            sub_a = np.asarray(sub_a)[: len(members)]
+            sub_c = np.asarray(sub_c)
+            # first sub-cluster reuses slot c; the rest append
+            cent_list[c] = sub_c[0]
+            for j in range(1, k_sub):
+                new_id = len(cent_list)
+                cent_list.append(sub_c[j])
+                assign[members[sub_a == j]] = new_id
+    return jnp.asarray(np.stack(cent_list), jnp.float32), assign
+
+
+def build_ivf_streaming(
+    chunk_provider,
+    n_chunks: int,
+    n_clusters: Optional[int] = None,
+    iters: int = 10,
+    seed: int = 0,
+    sample_rows: int = 500_000,
+    max_list_size: Optional[int] = None,
+    quantize: bool = False,
+) -> IVFIndex:
+    """IVF build for corpora whose flat + permuted copies exceed HBM.
+
+    :func:`build_ivf` holds the source matrix AND its cluster-permuted
+    copy live at the permute gather — 2× the store (20.5 GB for the 10M
+    int8 store of BASELINE config 5 — more than one v5e chip).  This
+    builder never holds more than ONE chunk of source beside the
+    destination, in three streamed passes (the faiss-IVF train-on-sample
+    recipe, reference src/ingestion.py:79-102 writes the analogous
+    artifact once):
+
+    1. **Train**: k-means (+ soft balancing, cap scaled by the sample
+       fraction) over ``sample_rows`` drawn evenly from every chunk.
+    2. **Assign**: one matmul pass per chunk; only [C] i32 assignments
+       cross to the host, giving exact list offsets.
+    3. **Scatter**: each chunk (quantized per row iff ``quantize``) is
+       written straight into its clusters' destination slots with one
+       donated unique-index row scatter — the f32 chunk is the only
+       transient.
+
+    Args:
+        chunk_provider: ``i -> f32 [C_i, D]`` device array (row chunk i;
+            deterministic — called twice per chunk).  All rows are valid.
+        n_chunks: number of chunks.
+        quantize: store int8 rows + per-row scales (``quantize_ivf``
+            layout) — the chunk is quantized AFTER assignment, so
+            centroids and assignments are full-precision.
+
+    Returns the same :class:`IVFIndex` as build_ivf (+quantize_ivf).
+    """
+    # -- pass 1: sample + train ------------------------------------------
+    sizes = []
+    samples = []
+    for i in range(n_chunks):
+        chunk = chunk_provider(i)
+        sizes.append(chunk.shape[0])
+        per = max(1, sample_rows // n_chunks)
+        stride = max(1, chunk.shape[0] // per)
+        samples.append(jnp.asarray(chunk[::stride][:per]))
+        del chunk
+    N = int(np.sum(sizes))
+    starts = np.zeros(n_chunks, np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    x_s = jnp.concatenate(samples, axis=0)
+    del samples
+    S = x_s.shape[0]
+    K = n_clusters or max(1, int(np.sqrt(N) * 4))
+    centroids, assign_s = kmeans(x_s, K, iters=iters, seed=seed)
+    if max_list_size:
+        cap_s = max(1, int(max_list_size * S / N))
+        centroids, _ = _balance_clusters(
+            x_s, assign_s, centroids, cap_s, iters, seed
+        )
+    K = centroids.shape[0]
+    del x_s, assign_s
+
+    # -- pass 2: assign every chunk --------------------------------------
+    assigns = []
+    for i in range(n_chunks):
+        assigns.append(np.asarray(assign_clusters(chunk_provider(i), centroids)))
+    counts = np.bincount(np.concatenate(assigns), minlength=K)
+    offsets = np.zeros((K + 1,), np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    # -- pass 3: scatter into the permuted store -------------------------
+    D = int(centroids.shape[1])
+    store_dtype = jnp.int8 if quantize else None
+    dest = None
+    row_scale = jnp.zeros((N,), jnp.float32) if quantize else None
+    row_ids = np.full((N,), -1, np.int32)
+    cursor = offsets[:K].copy()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter_rows(buf, pos, chunk):
+        return buf.at[pos].set(chunk.astype(buf.dtype))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def scatter_rows_q(buf, scales, pos, chunk):
+        from ..ops.quant import quantize_rows
+
+        q8, sc = quantize_rows(chunk)
+        return buf.at[pos].set(q8), scales.at[pos].set(sc)
+
+    for i in range(n_chunks):
+        chunk = chunk_provider(i)
+        if dest is None:
+            store_dtype = store_dtype or chunk.dtype
+            dest = jnp.zeros((N, D), store_dtype)
+        a = assigns[i]
+        # per-row destination slot: next free position of its list
+        pos = np.empty(len(a), np.int64)
+        for c in np.unique(a):
+            m = a == c
+            n_c = int(m.sum())
+            pos[m] = cursor[c] + np.arange(n_c)
+            cursor[c] += n_c
+        row_ids[pos] = starts[i] + np.arange(len(a))
+        pos_j = jnp.asarray(pos.astype(np.int32))
+        if quantize:
+            dest, row_scale = scatter_rows_q(dest, row_scale, pos_j, chunk)
+        else:
+            dest = scatter_rows(dest, pos_j, chunk)
+        del chunk
+
+    pos_cluster = np.repeat(
+        np.arange(K, dtype=np.int32), counts
+    )
+    return IVFIndex(
+        centroids=centroids,
+        emb_perm=dest,
+        row_ids=jnp.asarray(row_ids),
+        pos_cluster=jnp.asarray(pos_cluster),
+        list_offsets=jnp.asarray(offsets, jnp.int32),
+        row_scale=row_scale,
         k_clusters=K,
         max_list=int(counts.max()) if len(counts) else 0,
         dim=D,

@@ -97,6 +97,84 @@ def quantize_index(idx: CorpusIndex) -> CorpusIndex:
     return dataclasses.replace(idx, emb=emb_i8, emb_scale=scale)
 
 
+def index_fingerprint(index_path: Path) -> str:
+    """Cheap identity stamp of a saved index artifact (size + mtime).
+
+    Persisted IVF sidecars are only valid for the exact corpus npz they
+    were clustered from; the stamp invalidates them on any rebuild."""
+    st = Path(index_path).stat()
+    return f"{st.st_size}:{int(st.st_mtime_ns)}"
+
+
+def save_ivf(path: Path, ivf, fingerprint: Optional[str] = None) -> None:
+    """Persist a built IVFIndex (index/ivf.py) as one npz sidecar.
+
+    The reference writes its indexes once and loads them forever
+    (reference src/ingestion.py:92-102); before this, the pipeline paid
+    the full on-device k-means build (~59 s at 1M rows) on every process
+    start (pipeline/run.py)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    emb_np = np.asarray(ivf.emb_perm)
+    if emb_np.dtype.kind == "V":  # bfloat16 — same raw-bits trick as emb
+        emb_np = emb_np.view(np.uint16)
+    arrays = {
+        "centroids": np.asarray(ivf.centroids),
+        "emb_perm": emb_np,
+        "row_ids": np.asarray(ivf.row_ids),
+        "pos_cluster": np.asarray(ivf.pos_cluster),
+        "list_offsets": np.asarray(ivf.list_offsets),
+    }
+    if ivf.row_scale is not None:
+        arrays["row_scale"] = np.asarray(ivf.row_scale)
+    statics = {
+        "version": _FORMAT_VERSION,
+        "k_clusters": ivf.k_clusters,
+        "max_list": ivf.max_list,
+        "dim": ivf.dim,
+        "emb_dtype": str(jnp.asarray(ivf.emb_perm).dtype),
+        "fingerprint": fingerprint,
+    }
+    np.savez_compressed(path, __statics__=json.dumps(statics), **arrays)
+
+
+def load_ivf(path: Path, expect_fingerprint: Optional[str] = None,
+             device_put: bool = True):
+    """Load a persisted IVFIndex; returns None when the sidecar is missing
+    or was built from a different corpus artifact (fingerprint mismatch)."""
+    from .ivf import IVFIndex
+
+    path = Path(path)
+    if not path.exists():
+        return None
+    z = np.load(path, allow_pickle=False)
+    statics = json.loads(str(z["__statics__"]))
+    if (
+        expect_fingerprint is not None
+        and statics.get("fingerprint") != expect_fingerprint
+    ):
+        return None
+    emb_np = z["emb_perm"]
+    if statics.get("emb_dtype", "") == "bfloat16":
+        import ml_dtypes
+
+        emb_np = emb_np.view(ml_dtypes.bfloat16)
+    ivf = IVFIndex(
+        centroids=jnp.asarray(z["centroids"]),
+        emb_perm=jnp.asarray(emb_np),
+        row_ids=jnp.asarray(z["row_ids"]),
+        pos_cluster=jnp.asarray(z["pos_cluster"]),
+        list_offsets=jnp.asarray(z["list_offsets"]),
+        row_scale=jnp.asarray(z["row_scale"]) if "row_scale" in z.files else None,
+        k_clusters=statics["k_clusters"],
+        max_list=statics["max_list"],
+        dim=statics["dim"],
+    )
+    if device_put:
+        ivf = jax.device_put(ivf)
+    return ivf
+
+
 def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Optional[CorpusMeta]]:
     path = Path(path)
     z = np.load(path, allow_pickle=False)

@@ -236,7 +236,19 @@ class Pipeline:
         )
         engine = QueryEngine(idx, meta)
         if rc.use_ivf:
-            engine.build_ivf()
+            # load the persisted IVF when it matches this exact corpus
+            # artifact; otherwise build once and persist (the reference's
+            # indexes are written once and loaded forever, src/ingestion.py
+            # :92-102 — rebuilding k-means on every start costs ~59 s at 1M)
+            from ..index.store import index_fingerprint, load_ivf, save_ivf
+
+            ivf_path = Path(str(self.paths.index_path) + ".ivf.npz")
+            fp = index_fingerprint(self.paths.index_path)
+            ivf = load_ivf(ivf_path, expect_fingerprint=fp)
+            if ivf is not None:
+                engine.ivf = ivf
+            else:
+                save_ivf(ivf_path, engine.build_ivf(), fingerprint=fp)
         return QuestionsProcessor(
             engine,
             self.query_embedder,

@@ -151,3 +151,88 @@ def test_masked_probe_selection_finds_minority_cluster():
     rows2 = np.asarray(rows2)
     assert (rows2[0] >= 900).all()
     assert ((rows2[1] >= 0) & (rows2[1] < 900)).all()
+
+
+def test_ivf_save_load_roundtrip(tmp_path, rng):
+    """Persisted IVF sidecar restores every field (f32 and int8 probes)
+    and search results are identical to the in-memory index."""
+    from rag_challenge_2_tpu.index.ivf import quantize_ivf
+    from rag_challenge_2_tpu.index.store import load_ivf, save_ivf
+
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = jnp.asarray(x[:5] + 0.01)
+    for variant in ("f32", "int8"):
+        idx = build_ivf(jnp.asarray(x), n_clusters=8, iters=6)
+        if variant == "int8":
+            idx = quantize_ivf(idx)
+        p = tmp_path / f"ivf_{variant}.npz"
+        save_ivf(p, idx, fingerprint="abc")
+        back = load_ivf(p, expect_fingerprint="abc")
+        assert back is not None
+        assert back.k_clusters == idx.k_clusters
+        assert back.max_list == idx.max_list
+        assert back.emb_perm.dtype == idx.emb_perm.dtype
+        v0, r0 = ivf_search(idx, q, 7, nprobe=3)
+        v1, r1 = ivf_search(back, q, 7, nprobe=3)
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+        # wrong fingerprint / missing file → None (caller rebuilds)
+        assert load_ivf(p, expect_fingerprint="other") is None
+    assert load_ivf(tmp_path / "missing.npz") is None
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_streaming_build_matches_in_memory_quality(rng, quantize):
+    """build_ivf_streaming (train-on-sample, assign, donated scatter) must
+    produce a structurally valid index whose recall matches the in-memory
+    build — the path for stores whose flat+permuted copies exceed HBM
+    (10M int8 = 20.5 GB > one v5e chip)."""
+    from rag_challenge_2_tpu.index.ivf import build_ivf_streaming, quantize_ivf
+    from rag_challenge_2_tpu.ops.kmeans import assign_clusters
+
+    x, _ = _clustered_data(rng, n_clusters=8, per=150, d=32)
+    N = x.shape[0]
+    C = 300
+    chunks = [jnp.asarray(x[i : i + C]) for i in range(0, N, C)]
+
+    ivf = build_ivf_streaming(
+        lambda i: chunks[i], len(chunks), n_clusters=8, iters=8,
+        sample_rows=600, max_list_size=400, quantize=quantize,
+    )
+    # structure: row_ids is a permutation of all corpus rows
+    row_ids = np.asarray(ivf.row_ids)
+    assert sorted(row_ids.tolist()) == list(range(N))
+    assert ivf.emb_perm.shape == (N, 32)
+    assert (ivf.emb_perm.dtype == jnp.int8) == quantize
+    assert (ivf.row_scale is not None) == quantize
+    offs = np.asarray(ivf.list_offsets)
+    assert offs[-1] == N and (np.diff(offs) >= 0).all()
+    # every stored row sits in the list its vector assigns to
+    a_all = np.asarray(assign_clusters(jnp.asarray(x), ivf.centroids))
+    pc = np.asarray(ivf.pos_cluster)
+    np.testing.assert_array_equal(pc, a_all[row_ids])
+    # stored vectors match their source rows
+    if not quantize:
+        np.testing.assert_allclose(
+            np.asarray(ivf.emb_perm), x[row_ids], rtol=1e-6
+        )
+    else:
+        deq = np.asarray(ivf.emb_perm).astype(np.float32) * np.asarray(
+            ivf.row_scale
+        )[:, None]
+        np.testing.assert_allclose(deq, x[row_ids], atol=2e-2)
+
+    # recall parity with the in-memory build at the same operating point
+    q = jnp.asarray(x[:16] + 0.01)
+    oracle = np.asarray(dense_topk(q, jnp.asarray(x), 10)[1])
+    mem = build_ivf(jnp.asarray(x), n_clusters=8, iters=8, max_list_size=400)
+    if quantize:
+        mem = quantize_ivf(mem)
+    r_mem = np.asarray(ivf_search(mem, q, 10, nprobe=3)[1])
+    r_str = np.asarray(ivf_search(ivf, q, 10, nprobe=3)[1])
+    rec = lambda got: np.mean(
+        [len(set(got[i]) & set(oracle[i])) / 10 for i in range(16)]
+    )
+    assert rec(r_str) >= rec(r_mem) - 0.05
+    assert rec(r_str) >= 0.8

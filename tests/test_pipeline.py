@@ -92,7 +92,7 @@ def test_configs_registry_covers_reference_presets():
     assert configs["gemini_thinking"].full_context
 
 
-def test_pipeline_with_ivf(data_root, rng):
+def test_pipeline_with_ivf(data_root, rng, monkeypatch):
     p = _offline_pipeline(data_root, rng)
     p.run_config.use_ivf = True
     p.parse_pdf_reports()
@@ -101,6 +101,31 @@ def test_pipeline_with_ivf(data_root, rng):
     assert proc.engine.ivf is not None
     out = proc.get_answer_for_company("金盘科技", "2024年营业收入", "number")
     assert out["final_answer"] == 68.9
+
+    # the build persisted an IVF sidecar keyed to this corpus artifact; a
+    # fresh processor must LOAD it, never re-run k-means (the reference's
+    # indexes persist, src/ingestion.py:92-102)
+    from pathlib import Path
+
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine
+
+    assert Path(str(p.paths.index_path) + ".ivf.npz").exists()
+
+    def boom(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("IVF was rebuilt instead of loaded")
+
+    monkeypatch.setattr(QueryEngine, "build_ivf", boom)
+    proc2 = p.build_processor()
+    assert proc2.engine.ivf is not None
+    out2 = proc2.get_answer_for_company("金盘科技", "2024年营业收入", "number")
+    assert out2["final_answer"] == 68.9
+
+    # rebuilding the corpus npz invalidates the sidecar (fingerprint)
+    from rag_challenge_2_tpu.index.store import index_fingerprint, load_ivf
+
+    fp = index_fingerprint(p.paths.index_path)
+    assert load_ivf(Path(str(p.paths.index_path) + ".ivf.npz"), "bogus") is None
+    assert load_ivf(Path(str(p.paths.index_path) + ".ivf.npz"), fp) is not None
 
 
 def test_auto_pretrain_on_first_index_build(data_root, rng, monkeypatch):
