@@ -63,6 +63,12 @@ class QAConfig:
     answering_model: Optional[str] = None
     new_challenge_pipeline: bool = True
     use_year_routing: bool = False  # derive selected_years from the question
+    # doc slots per search: None = size from the actual route (bucketed like
+    # max_queries) so a company with many routed reports searches ALL of
+    # them — the reference fans out every routed DB (src/retrieval.py:
+    # 1475-1504); a fixed 8 silently dropped the oldest years on "近十年"
+    # routes
+    max_docs: Optional[int] = None
 
 
 class QuestionsProcessor:
@@ -401,12 +407,25 @@ class QuestionsProcessor:
                 f"{max_q} are searched",
                 stacklevel=2,
             )
+        # Size the doc-slot batch from the actual route the same way: every
+        # routed document gets a slot (bucketed shapes → O(1) jit
+        # specializations), so multi-year routes never drop their oldest
+        # reports (reference src/retrieval.py:1475-1504 searches every
+        # routed DB).
+        if cfg.max_docs is not None:
+            max_d = cfg.max_docs
+        else:
+            n_docs = len(
+                self.engine.routed_docs(company, question, selected_years)
+            )
+            max_d = next((b for b in (8, 16, 32) if n_docs <= b), 32)
         scfg = SearchConfig(
             method=cfg.retrieval_method,
             top_k=min(top_n, 64),
             max_hops=cfg.max_hops,
             neighbor_k=cfg.neighbor_k,
             max_queries=max_q,
+            max_docs=max_d,
             return_parent_pages=cfg.return_parent_pages,
             top_n=top_n,
             use_bm25=cfg.use_bm25,

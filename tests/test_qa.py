@@ -1,6 +1,7 @@
 """QA orchestration end-to-end, fully offline: stub LLM + synthetic corpus
 (SURVEY.md §4: no network, stub expansion/rerank behind interfaces)."""
 
+import dataclasses
 import json
 
 import numpy as np
@@ -172,3 +173,54 @@ def test_device_trace_helper(tmp_path):
     with device_trace(tmp_path / "tr", label="unit"):
         jnp.sum(jnp.ones((8, 8))).block_until_ready()
     assert any((tmp_path / "tr").rglob("*".strip())), "trace files written"
+
+
+def test_many_doc_route_searches_all_docs(rng):
+    """A company with 10 routed reports must search ALL of them — the
+    reference fans out every routed DB (src/retrieval.py:1475-1504); the
+    doc-slot batch auto-sizes from the route instead of clamping at 8."""
+    from rag_challenge_2_tpu.index import build_corpus_index
+
+    n_docs, dim = 10, 32
+    reports, embs = [], []
+    for d in range(n_docs):
+        chunks = [
+            {"page": 1, "text": f"年报{2015 + d} chunk{c}", "id": c, "type": "content"}
+            for c in range(4)
+        ]
+        reports.append({
+            "metainfo": {"sha1_name": f"J{2015 + d}_doc{d}",
+                         "company_name": "金盘科技", "year": 2015 + d},
+            "content": {"pages": [{"page": 1, "text": "p"}], "chunks": chunks},
+        })
+        e = rng.normal(size=(4, dim)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        embs.append(e)
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=12)
+    eng = QueryEngine(idx, meta)
+    flat = np.concatenate(embs)
+
+    # query pointing at the OLDEST document's rows (doc 0, rows 0-3) —
+    # exactly what a fixed max_docs=8 "keep newest" policy would drop
+    target = flat[1][None, :]
+    proc = QuestionsProcessor(
+        eng, lambda texts: np.repeat(target, len(texts), 0),
+        LLMFacade(StubProvider(dict(BASE_SCRIPT))), None,
+        QAConfig(return_parent_pages=False),
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old clamp warned here
+        out = proc.get_answer_for_company("金盘科技", "近十年营业收入趋势如何？", "number")
+    hit_years = {r["source_year"] for r in out["initial_retrieval_results"]}
+    assert 2015 in hit_years, "oldest routed report was dropped from the search"
+    top = out["initial_retrieval_results"][0]
+    assert top["source_year"] == 2015 and top["rep_row"] == 1
+
+    # explicit cap still honored (engine warns + keeps the newest)
+    proc.config = dataclasses.replace(proc.config, max_docs=4)
+    with pytest.warns(UserWarning, match="max_docs"):
+        out2 = proc.get_answer_for_company("金盘科技", "近十年营业收入趋势如何？", "number")
+    years2 = {r["source_year"] for r in out2["initial_retrieval_results"]}
+    assert 2015 not in years2 and max(years2) == 2024
