@@ -447,12 +447,16 @@ class QAWebApp:
         processor: QuestionsProcessor,
         default_company: str = "金盘科技",
         question_bank: Optional[Dict[str, List[str]]] = None,
+        pdf_dir=None,
     ):
         self.processor = processor
         self.default_company = default_company
         if isinstance(question_bank, list):  # back-compat: flat list
             question_bank = {"问题库": question_bank}
         self.question_bank = question_bank or DEFAULT_QUESTION_BANK
+        # source PDFs for the image page viewer (reference renders cited
+        # pages as images, app_jinpan_qa.py:307-352); None → text-only
+        self.pdf_dir = pdf_dir
         # (sha1, page) → page text: the processor already builds exactly
         # this map; reuse it (one copy, one key normalization)
         self._page_text = {
@@ -460,10 +464,38 @@ class QAWebApp:
             for (sha1, page), text in processor._page_text.items()
         }
 
+    def _page_image(self, sha1: str, pageno: int) -> Optional[str]:
+        """Base64 PNG of the cited PDF page when PyMuPDF AND the source
+        PDF are both present (reference app_jinpan_qa.py:307-352 —
+        1-based page → 0-based fitz index); None → caller falls back to
+        the indexed text."""
+        if self.pdf_dir is None:
+            return None
+        try:
+            import fitz  # PyMuPDF — optional, absent in this image
+        except ImportError:
+            return None
+        from pathlib import Path
+
+        pdf_path = Path(self.pdf_dir) / f"{sha1}.pdf"
+        if not pdf_path.exists():
+            return None
+        try:
+            import base64
+
+            with fitz.open(str(pdf_path)) as doc:
+                if not (1 <= pageno <= doc.page_count):
+                    return None
+                pix = doc[pageno - 1].get_pixmap(dpi=110)
+                return base64.b64encode(pix.tobytes("png")).decode("ascii")
+        except Exception:
+            return None
+
     def page(self, query: Dict[str, List[str]]) -> Dict:
-        """Page-text viewer: the reference renders PDF page images
-        (app_jinpan_qa.py:307-352, PyMuPDF); here the indexed page text —
-        same navigation contract (1-based page numbers)."""
+        """Cited-page viewer (reference app_jinpan_qa.py:307-352): a PDF
+        page image when PyMuPDF + the source PDF are available, the
+        indexed page text otherwise — same navigation contract (1-based
+        page numbers)."""
         sha1 = (query.get("doc") or [""])[0]
         try:
             pageno = int((query.get("page") or ["0"])[0])
@@ -472,7 +504,11 @@ class QAWebApp:
         text = self._page_text.get((sha1, pageno))
         if text is None:
             return {"error": f"no indexed page {pageno} in {sha1}"}
-        return {"doc": sha1, "page": pageno, "text": text}
+        out = {"doc": sha1, "page": pageno, "text": text}
+        img = self._page_image(sha1, pageno)
+        if img is not None:
+            out["image_png_base64"] = img
+        return out
 
     def evaluate(self, payload: Dict) -> Dict:
         """LLM-judge pre-answered records: POST {records: [{question,
@@ -490,22 +526,37 @@ class QAWebApp:
         records = payload.get("records", [])
         if not isinstance(records, list) or not records:
             return {"error": "records must be a non-empty list"}
-        answered = []
-        for rec in records:
+
+        def answer_one(rec: Dict) -> Dict:
             q = str(rec.get("question", "")).strip()
             out = dict(rec)
             if not q:
                 out["rag_answer"] = ""
                 out["error"] = "empty question"
-            else:
-                try:
-                    ans = self.ask({**payload, "question": q, "history": None})
-                    out["rag_answer"] = str(ans.get("final_answer", ans.get("error", "")))
-                    out["references"] = ans.get("references", [])
-                except Exception as e:  # one bad question must not discard
-                    out["rag_answer"] = ""  # the rest of the batch's work
-                    out["error"] = f"{type(e).__name__}: {e}"
-            answered.append(out)
+                return out
+            try:
+                ans = self.ask({**payload, "question": q, "history": None})
+                out["rag_answer"] = str(ans.get("final_answer", ans.get("error", "")))
+                out["references"] = ans.get("references", [])
+            except Exception as e:  # one bad question must not discard
+                out["rag_answer"] = ""  # the rest of the batch's work
+                out["error"] = f"{type(e).__name__}: {e}"
+            return out
+
+        # answer concurrently, parallel_requests wide — a 127-question run
+        # through a real LLM would crawl sequentially (the reference
+        # batches QA the same way, src/questions_processing.py:1120-1130);
+        # `ask` already isolates per-request config/reranker state
+        workers = max(1, int(payload.get(
+            "parallel_requests", self.processor.config.parallel_requests
+        )))
+        if workers == 1 or len(records) == 1:
+            answered = [answer_one(r) for r in records]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                answered = list(pool.map(answer_one, records))
         harness = JudgeHarness(self.processor.llm)
         return harness.judge_all(answered)
 

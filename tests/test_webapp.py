@@ -165,3 +165,87 @@ def test_eval_run_survives_failing_question(tiny_corpus, rng):
     errs = [r for r in recs if r.get("error")]
     assert len(errs) == 1 and "boom" in errs[0]["error"]
     assert any(r.get("rag_answer") for r in recs), recs
+
+
+def test_eval_run_concurrent_workers(tiny_corpus, rng):
+    """eval_run answers records through a worker pool (reference batches QA
+    parallel_requests wide, src/questions_processing.py:1120-1130) —
+    concurrency must be real AND order-preserving."""
+    import threading as _th
+    import time
+
+    from tests.test_qa import make_processor, BASE_SCRIPT
+    from rag_challenge_2_tpu.serving.webapp import QAWebApp
+
+    proc, provider = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    provider.scripted["评审"] = json.dumps(
+        {"score": 1.0, "reasoning": "ok", "is_correct": True}, ensure_ascii=False
+    )
+    app = QAWebApp(proc, default_company="金盘科技")
+
+    gate = _th.Barrier(4, timeout=10)
+
+    def slow_ask(payload):
+        gate.wait()  # only passes if 4 questions run CONCURRENTLY
+        return {"final_answer": payload["question"][-1], "references": [1]}
+
+    app.ask = slow_ask
+    records = [{"question": f"问题{i}", "standard": "x"} for i in range(4)]
+    out = app.eval_run({"records": records, "parallel_requests": 4})
+    assert [r["rag_answer"] for r in out["records"]] == ["0", "1", "2", "3"]
+    assert out["statistics"]["total"] == 4
+
+
+def test_page_viewer_image_feature_gate(tiny_corpus, rng, tmp_path, monkeypatch):
+    """PDF page images render when PyMuPDF + the source PDF exist; the
+    indexed-text fallback always works (reference app_jinpan_qa.py:307-352
+    shows images; fitz is optional in this environment)."""
+    import base64
+    import sys
+    import types
+
+    from tests.test_qa import make_processor, BASE_SCRIPT
+    from rag_challenge_2_tpu.serving.webapp import QAWebApp
+
+    proc, _ = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    sha1 = proc.engine.meta.docs[0].sha1
+
+    # no pdf_dir → text only
+    app = QAWebApp(proc)
+    out = app.page({"doc": [sha1], "page": ["1"]})
+    assert out["text"] and "image_png_base64" not in out
+
+    # fake fitz + a pdf file → image + text
+    class FakePix:
+        def tobytes(self, fmt):
+            return b"PNGDATA"
+
+    class FakePage:
+        def get_pixmap(self, dpi):
+            return FakePix()
+
+    class FakeDoc:
+        page_count = 5
+
+        def __getitem__(self, i):
+            assert i == 0  # 1-based page 1 → 0-based index 0
+            return FakePage()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake = types.ModuleType("fitz")
+    fake.open = lambda p: FakeDoc()
+    monkeypatch.setitem(sys.modules, "fitz", fake)
+    (tmp_path / f"{sha1}.pdf").write_bytes(b"%PDF-fake")
+    app2 = QAWebApp(proc, pdf_dir=tmp_path)
+    out2 = app2.page({"doc": [sha1], "page": ["1"]})
+    assert base64.b64decode(out2["image_png_base64"]) == b"PNGDATA"
+    assert out2["text"]
+
+    # out-of-range page → text fallback, no crash
+    out3 = app2.page({"doc": [sha1], "page": ["4"]})
+    assert "image_png_base64" not in out3 or out3.get("image_png_base64")
