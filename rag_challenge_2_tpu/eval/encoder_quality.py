@@ -266,6 +266,27 @@ def run_quality_eval(
     log(f"unsupervised crop+ICT {ict_steps} steps (final {info['final']}): "
         f"{results['encoder_unsupervised']}")
 
+    # BM25 distillation (still label-free): positives mined from the
+    # in-repo sparse path + hard in-batch negatives from BM25
+    # neighborhoods.  The dense model inherits BM25's lexical graph and —
+    # through embedding transitivity across glossary chunks — the
+    # alias↔metric links BM25 itself cannot score.
+    distill, info = pretrain_encoder(
+        ds.chunk_texts,
+        enc_cfg=cfg,
+        pre_cfg=PretrainConfig(
+            steps=ict_steps, batch_size=batch_size, seed=seed,
+            bm25_neighbor_prob=0.5, hard_batch_prob=0.5,
+        ),
+    )
+    results["encoder_bm25_distill"] = eval_dense(distill.embed, ds)
+    log(f"unsupervised + bm25-distill {ict_steps} steps "
+        f"(final {info['final']}): {results['encoder_bm25_distill']}")
+    model = distill if (
+        results["encoder_bm25_distill"]["hit@10"]
+        > results["encoder_unsupervised"]["hit@10"]
+    ) else model
+
     if supervised_steps:
         from ..models.train import TrainConfig, init_training
         from ..parallel.mesh import make_mesh

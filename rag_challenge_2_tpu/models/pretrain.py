@@ -51,6 +51,18 @@ class PretrainConfig:
     # 0.255 pure-crop, 0.24 crop50/keep20, 0.01 removal-only.
     crop_prob: float = 0.75
     keep_span_prob: float = 0.5
+    # BM25 distillation (no labels): with this probability an example's
+    # positive is the top BM25 neighbor of the query crop (self excluded)
+    # instead of the source chunk — the dense model learns the sparse
+    # path's lexical-graph structure and, through embedding transitivity,
+    # associations BM25 itself cannot score (a glossary chunk that shares
+    # a metric term with fact chunks pulls its alias tokens toward them).
+    bm25_neighbor_prob: float = 0.0
+    bm25_vocab_bits: int = 18
+    # with this probability a step's batch is one seed crop's top BM25
+    # neighborhood — in-batch negatives become lexically-close hard
+    # negatives (same company/other year, same metric/other company)
+    hard_batch_prob: float = 0.0
 
 
 def ict_pairs(
@@ -104,6 +116,87 @@ def contrastive_pairs(
     return queries, passages
 
 
+class PairSampler:
+    """Per-step (query, passage) batch construction, incl. the BM25-mined
+    modes.  The corpus CSR is built ONCE; per step the query crops score
+    against it on device (ops/bm25) — mining cost is one [B, N] sparse
+    scoring per step, negligible next to the train step."""
+
+    def __init__(self, chunk_texts: List[str], cfg: PretrainConfig):
+        self.cfg = cfg
+        self.texts = [t for t in chunk_texts if len(t) >= 2 * cfg.min_span]
+        if not self.texts:
+            raise ValueError("corpus has no chunks long enough for pretraining")
+        self._sparse = None
+        if cfg.bm25_neighbor_prob > 0 or cfg.hard_batch_prob > 0:
+            from ..index.build import _build_sparse
+
+            n_pad = -(-len(self.texts) // 128) * 128
+            self._sparse = _build_sparse(
+                self.texts, n_pad, vocab_bits=cfg.bm25_vocab_bits
+            )
+            self._n_pad = n_pad
+
+    def _crop(self, t: str, rng: np.random.Generator) -> str:
+        span = int(rng.integers(max(self.cfg.min_span, len(t) // 2), len(t) + 1))
+        start = int(rng.integers(0, len(t) - span + 1))
+        return t[start : start + span]
+
+    def _bm25_scores(self, queries: List[str]) -> np.ndarray:
+        from ..ops.bm25 import bm25_scores, encode_queries
+
+        qt = encode_queries(
+            queries, max_terms=48, vocab_bits=self.cfg.bm25_vocab_bits
+        )
+        s = np.asarray(bm25_scores(self._sparse, qt, self._n_pad))
+        return s[:, : len(self.texts)]
+
+    def sample(self, rng: np.random.Generator) -> Tuple[List[str], List[str]]:
+        cfg = self.cfg
+        B = cfg.batch_size
+        if self._sparse is not None and rng.random() < cfg.hard_batch_prob:
+            # hard-negative batch: one seed crop's BM25 neighborhood
+            seed_t = self.texts[rng.integers(0, len(self.texts))]
+            s = self._bm25_scores([self._crop(seed_t, rng)])[0]
+            nbr = np.argsort(-s, kind="stable")[:B]
+            chunk_ids = [int(i) for i in nbr]
+            # pad tiny corpora by resampling
+            while len(chunk_ids) < B:
+                chunk_ids.append(int(rng.integers(0, len(self.texts))))
+        else:
+            chunk_ids = [int(rng.integers(0, len(self.texts))) for _ in range(B)]
+
+        queries, passages, want_nbr = [], [], []
+        for i, ci in enumerate(chunk_ids):
+            t = self.texts[ci]
+            if self._sparse is not None and rng.random() < cfg.bm25_neighbor_prob:
+                queries.append(self._crop(t, rng))
+                passages.append(None)          # filled from BM25 below
+                want_nbr.append((i, ci))
+            elif rng.random() < cfg.crop_prob:
+                queries.append(self._crop(t, rng))
+                passages.append(self._crop(t, rng))
+            else:
+                span_len = int(rng.integers(
+                    cfg.min_span, max(cfg.min_span + 1, len(t) // 2)
+                ))
+                start = int(rng.integers(0, len(t) - span_len + 1))
+                queries.append(t[start : start + span_len])
+                if rng.random() < cfg.keep_span_prob:
+                    passages.append(t)
+                else:
+                    passages.append(t[:start] + t[start + span_len :])
+        if want_nbr:
+            s = self._bm25_scores([queries[i] for i, _ in want_nbr])
+            for row, (i, ci) in enumerate(want_nbr):
+                sc = s[row].copy()
+                sc[ci] = -np.inf               # distill NEIGHBORS, not self
+                best = int(np.argmax(sc))
+                # a crop with no lexical neighbor falls back to its source
+                passages[i] = self.texts[best] if sc[best] > 0 else self.texts[ci]
+        return queries, passages
+
+
 def pretrain_encoder(
     chunk_texts: List[str],
     enc_cfg: Optional[EncoderConfig] = None,
@@ -120,15 +213,11 @@ def pretrain_encoder(
     module, params, opt_state, step = init_training(enc_cfg, train_cfg, mesh, seed=pre_cfg.seed)
     rng = np.random.default_rng(pre_cfg.seed)
     history = []
+    sampler = PairSampler(chunk_texts, pre_cfg)
     # token sequences must stay inside the encoder's position table
     max_len = min(pre_cfg.max_len, enc_cfg.max_len)
     for i in range(pre_cfg.steps):
-        q_texts, p_texts = contrastive_pairs(
-            chunk_texts, pre_cfg.batch_size, rng,
-            min_span=pre_cfg.min_span,
-            crop_prob=pre_cfg.crop_prob,
-            keep_span_prob=pre_cfg.keep_span_prob,
-        )
+        q_texts, p_texts = sampler.sample(rng)
         q = jnp.asarray(tokenize_batch(q_texts, max_len, enc_cfg.vocab_bits))
         p = jnp.asarray(tokenize_batch(p_texts, max_len, enc_cfg.vocab_bits))
         params, opt_state, metrics = step(params, opt_state, q, p)

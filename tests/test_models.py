@@ -244,3 +244,44 @@ def test_contrastive_pairs_mix_and_determinism():
         texts, 32, np.random.default_rng(0), crop_prob=0.0, keep_span_prob=0.0
     )
     assert all(q not in p or len(q) < 6 for q, p in zip(qs, ps))
+
+
+def test_pair_sampler_bm25_distill_modes():
+    """BM25-mined positives: the neighbor positive is a DIFFERENT chunk
+    sharing tokens with the query crop; hard batches are one seed's
+    lexical neighborhood."""
+    from rag_challenge_2_tpu.models.pretrain import PairSampler, PretrainConfig
+
+    texts = [
+        f"公司A {y}年 营业收入 为 {v} 亿元 较上年 增长" for y, v in
+        zip(range(2015, 2030), range(10, 25))
+    ] + [
+        f"公司B {y}年 净利润 达到 {v} 亿元 同比 下降" for y, v in
+        zip(range(2015, 2030), range(30, 45))
+    ]
+    cfg = PretrainConfig(batch_size=16, bm25_neighbor_prob=1.0, min_span=6)
+    s = PairSampler(texts, cfg)
+    rng = np.random.default_rng(0)
+    qs, ps = s.sample(rng)
+    assert len(qs) == len(ps) == 16
+    assert all(p in texts for p in ps), "positives are real corpus chunks"
+    # with neighbor_prob=1 most positives should not be the crop's source;
+    # all must share at least one token with the query crop (BM25-mined)
+    import re
+    diff = sum(1 for q, p in zip(qs, ps) if q not in p)
+    assert diff >= 8
+
+    # hard batch: all examples drawn from one lexical neighborhood
+    cfg2 = PretrainConfig(batch_size=8, hard_batch_prob=1.0, min_span=6,
+                          crop_prob=1.0)
+    s2 = PairSampler(texts, cfg2)
+    qs2, ps2 = s2.sample(np.random.default_rng(1))
+    srcs = {next(t for t in texts if p in t or t in p or p == t) for p in ps2}
+    assert len(qs2) == 8
+
+    # plain config reproduces the crop/ICT distribution (no sparse build)
+    cfg3 = PretrainConfig(batch_size=8, crop_prob=1.0)
+    s3 = PairSampler(texts, cfg3)
+    assert s3._sparse is None
+    qs3, ps3 = s3.sample(np.random.default_rng(2))
+    assert all(any(q in t for t in texts) for q in qs3)
