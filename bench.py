@@ -428,6 +428,93 @@ def bench_int8_10m(extras, N=10_000_000, D=1024, C=500_000):
 NEG_INF_F = -3.0e38
 
 
+def bench_ivf_10m(extras, N=10_000_000, D=1024, C=500_000, N_CENTERS=4096):
+    """BASELINE config 5 with PROBES instead of the exact scan: a balanced
+    int8 IVF over the full 10M rows on one chip, built STREAMING
+    (index/ivf.build_ivf_streaming — the flat+permuted pair of copies the
+    in-memory builder holds is 20.5 GB, more than the chip; the streamed
+    build holds one f32 chunk beside the destination).  Same clustered
+    generator and f32 oracle as bench_int8_10m."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.ivf import build_ivf_streaming, ivf_search
+
+    NQ = 127
+    key = jax.random.PRNGKey(0)
+    kc_, kq_ = jax.random.split(key, 2)
+    centers = jax.random.normal(kc_, (N_CENTERS, D), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @jax.jit
+    def gen_chunk(centers, i):
+        k = jax.random.fold_in(jax.random.PRNGKey(1), i)
+        ka, kn = jax.random.split(k)
+        a = jax.random.randint(ka, (C,), 0, N_CENTERS)
+        e = centers[a] + (0.35 / jnp.sqrt(D)) * jax.random.normal(kn, (C, D), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    @jax.jit
+    def oracle_merge(top_v, top_i, q, chunk_f32, base):
+        s = jnp.dot(q, chunk_f32.T, preferred_element_type=jnp.float32)
+        v, j = jax.lax.top_k(s, 10)
+        cv = jnp.concatenate([top_v, v], axis=1)
+        ci = jnp.concatenate([top_i, j + base], axis=1)
+        nv, nj = jax.lax.top_k(cv, 10)
+        return nv, jnp.take_along_axis(ci, nj, axis=1)
+
+    # exact f32 oracle + queries, one generation pass (no corpus kept)
+    top_v = jnp.full((NQ, 10), NEG_INF_F, jnp.float32)
+    top_i = jnp.full((NQ, 10), -1, jnp.int32)
+    q = None
+    for i in range(N // C):
+        e = gen_chunk(centers, jnp.int32(i))
+        if i == 0:
+            kr, kn2 = jax.random.split(kq_)
+            r = jax.random.randint(kr, (NQ,), 0, C)
+            q = e[r] + (0.25 / jnp.sqrt(D)) * jax.random.normal(kn2, (NQ, D), jnp.float32)
+            q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        top_v, top_i = oracle_merge(top_v, top_i, q, e, jnp.int32(i * C))
+        del e
+    sync(top_v)
+    oracle = np.asarray(top_i)
+
+    t0 = time.perf_counter()
+    ivf = build_ivf_streaming(
+        functools.partial(gen_chunk, centers), N // C,
+        iters=8, sample_rows=C, max_list_size=2048, quantize=True,
+    )
+    sync(ivf.emb_perm)
+    build_s = time.perf_counter() - t0
+    extras["ivf_10m_int8_build_s"] = round(build_s, 1)
+    extras["ivf_10m_int8_k"] = ivf.k_clusters
+    extras["ivf_10m_int8_max_list"] = ivf.max_list
+    log(f"ivf 10M int8 streamed build: {build_s:.1f}s "
+        f"(K={ivf.k_clusters}, max_list={ivf.max_list})")
+
+    best = None
+    for nprobe in (4, 8, 16):
+        v, rows = ivf_search(ivf, q, 10, nprobe=nprobe)
+        sync(v)
+        got = np.asarray(rows)
+        r10 = float(np.mean([
+            len(set(got[i]) & set(oracle[i])) / 10 for i in range(NQ)
+        ]))
+        qps = best_qps(lambda: ivf_search(ivf, q, 10, nprobe=nprobe), NQ, reps=3)
+        extras[f"ivf_10m_int8_recall@10_np{nprobe}"] = round(r10, 4)
+        extras[f"ivf_10m_int8_qps_np{nprobe}"] = round(qps, 1)
+        log(f"ivf 10M int8 nprobe={nprobe}: recall@10={r10:.4f} {qps:.1f} qps")
+        if best is None or (r10 >= 0.9 and best[1] < 0.9) or (
+            (r10 >= 0.9) == (best[1] >= 0.9) and qps > best[2]
+        ):
+            best = (nprobe, r10, qps)
+    extras["ivf_10m_int8_nprobe"] = best[0]
+    extras["ivf_10m_int8_recall@10"] = round(best[1], 4)
+    extras["ivf_10m_int8_qps"] = round(best[2], 1)
+
+
 def bench_traversal(extras):
     """Graph-traversal methods at the val-set shape: batched on-device hop
     loops (retrieval/traversal.py) vs the reference's sequential per-hop
@@ -523,6 +610,158 @@ def bench_traversal(extras):
         log(f"device {method}: {qps:.1f} qps ({qps / cpu_qps:.0f}x cpu ssg; "
             f"hybrid runs 30 traversals per (q,doc) pair — the cpu loop "
             f"equivalent is ~{cpu_qps / 30:.0f} qps)")
+
+
+def bench_traversal_1m(extras, N_DOCS=6, CPD=170_000, D=1024):
+    """Graph traversal at 1M+ rows (config-3/5 scale): the doc-windowed
+    hop path's [M, W, D] slices approach the TRAVERSAL_WINDOW_COPY_CAP
+    budget here — above it the engine falls back to the masked
+    full-corpus traverse (engine.search_device), so this line witnesses
+    traversal at scale WITHOUT corpus duplication in HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.schema import CorpusIndex
+    from rag_challenge_2_tpu.retrieval.engine import (
+        TRAVERSAL_WINDOW_COPY_CAP, SearchConfig, search_device,
+    )
+
+    N = N_DOCS * CPD
+    Q_BATCH, M, NQ = 8, 3, 127
+    key = jax.random.PRNGKey(11)
+
+    @jax.jit
+    def gen(key):
+        e = jax.random.normal(key, (N, D), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    emb = gen(key)
+    rows = jnp.arange(N, dtype=jnp.int32)
+    doc_id = (rows // CPD).astype(jnp.int32)
+    idx = CorpusIndex(
+        emb=emb, doc_id=doc_id, page=rows % 500 + 1, year=2020 + doc_id,
+        company_id=jnp.zeros((N,), jnp.int32), kind=jnp.zeros((N,), jnp.int32),
+        page_seg=rows // 4, chunk_in_doc=rows % CPD,
+        valid=jnp.ones((N,), bool), sparse=None,
+        n_chunks=N, n_pages=N // 4, n_docs=N_DOCS, dim=D,
+    )
+    dm = jnp.stack([doc_id == d for d in range(M)])
+    dv = jnp.ones((M,), bool)
+    qk = jax.random.fold_in(key, 1)
+    q_all = jax.random.normal(qk, (NQ, D), jnp.float32)
+    q_all = q_all / jnp.linalg.norm(q_all, axis=1, keepdims=True)
+    q_valid = jnp.ones((Q_BATCH,), bool)
+    ws = jnp.arange(M, dtype=jnp.int32) * CPD
+    wl = jnp.full((M,), CPD, jnp.int32)
+    window = -(-CPD // 128) * 128
+    windowed = M * window * D * 4 <= TRAVERSAL_WINDOW_COPY_CAP
+    reps = 8
+    batches = [q_all[(r * Q_BATCH) % (NQ - Q_BATCH):][:Q_BATCH] for r in range(reps)]
+    sync(batches[-1])
+    for method in ("ssg", "hybrid_expansion"):
+        cfg = SearchConfig(
+            method=method, top_k=50 if method == "hybrid_expansion" else 30,
+            max_queries=Q_BATCH, max_docs=M, top_n=30,
+            max_hops=4, neighbor_k=30,
+        )
+        out, _ = search_device(idx, batches[0], q_valid, dm, dv, cfg,
+                               win_start=ws, win_len=wl, window=window)
+        sync(out.score)
+
+        def run():
+            o = None
+            for r in range(reps):
+                o, _ = search_device(idx, batches[r], q_valid, dm, dv, cfg,
+                                     win_start=ws, win_len=wl, window=window)
+            return o.score
+
+        qps = best_qps(lambda: run(), Q_BATCH * reps, reps=1)
+        extras[f"traversal_1m_{method}_qps"] = round(qps, 1)
+        log(f"device {method} at {N} rows ({'windowed' if windowed else 'masked full-corpus'}): "
+            f"{qps:.1f} qps")
+
+
+def bench_qa_warm(extras):
+    """Driver-witnessed warm serving latency: the FULL QA path — query
+    expansion, hybrid dense+BM25 search, fusion, materialisation, page
+    selection, two-stage answering, reference extraction — per question at
+    the val-set corpus shape, LLM calls stubbed so the number isolates the
+    framework (the reference measures 3-5 s end-to-end on its production
+    server, README.md:310-312, most of it API-bound; its non-LLM pipeline
+    work is the part this path replaces)."""
+    import json as _json
+
+    from rag_challenge_2_tpu.index import build_corpus_index
+    from rag_challenge_2_tpu.llm.facade import LLMFacade
+    from rag_challenge_2_tpu.llm.providers import StubProvider
+    from rag_challenge_2_tpu.qa.processor import QAConfig, QuestionsProcessor
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine
+
+    rng = np.random.default_rng(5)
+    N_DOCS, CPD, D = 6, 1700, 1024
+    reports, embs = [], []
+    for d in range(N_DOCS):
+        chunks = [
+            {"page": c // 20 + 1,
+             "text": f"金盘科技{2020 + d}年报 营业收入 毛利率 干式变压器 第{c}段 数据{c % 97}",
+             "id": c, "type": "content"}
+            for c in range(CPD)
+        ]
+        pages = [
+            {"page": p + 1, "text": f"{2020 + d}年第{p + 1}页"}
+            for p in range(CPD // 20 + 1)
+        ]
+        reports.append({
+            "metainfo": {"sha1_name": f"J{2020 + d}_jinpan",
+                         "company_name": "金盘科技", "year": 2020 + d},
+            "content": {"pages": pages, "chunks": chunks},
+        })
+        e = rng.normal(size=(CPD, D)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        embs.append(e)
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=18)
+    eng = QueryEngine(idx, meta)
+    flat = np.concatenate(embs)
+
+    def embedder(texts):
+        out = np.zeros((len(texts), D), np.float32)
+        for i, t in enumerate(texts):
+            out[i] = flat[abs(hash(t)) % flat.shape[0]]
+        return out
+
+    script = {
+        "候选页面": _json.dumps(
+            {"selected_pages": [1, 2], "reasoning": "相关"}, ensure_ascii=False),
+        "上下文": _json.dumps({
+            "step_by_step_analysis": "步骤" * 20, "reasoning_summary": "总结",
+            "relevant_pages": [1], "final_answer": 68.9,
+        }, ensure_ascii=False),
+    }
+    proc = QuestionsProcessor(
+        eng, embedder, LLMFacade(StubProvider(script)), None,
+        QAConfig(use_bm25=True, return_parent_pages=False),
+    )
+    questions = [
+        f"金盘科技{2020 + (i % 6)}年{t}是多少？"
+        for i, t in enumerate(
+            ["营业收入", "毛利率", "研发费用", "净利润", "出口占比",
+             "新签订单", "资产负债率", "经营现金流"] * 5
+        )
+    ]
+    for q in questions[:3]:  # compile + settle every jit signature
+        proc.get_answer_for_company("金盘科技", q, "number")
+    lat = []
+    for q in questions:
+        t0 = time.perf_counter()
+        out = proc.get_answer_for_company("金盘科技", q, "number")
+        lat.append((time.perf_counter() - t0) * 1000)
+        assert out["final_answer"] == 68.9
+    lat.sort()
+    extras["qa_warm_ms_p50"] = round(lat[len(lat) // 2], 1)
+    extras["qa_warm_ms_p95"] = round(lat[int(len(lat) * 0.95)], 1)
+    log(f"warm QA end-to-end ({len(lat)} questions, stub LLM, hybrid search): "
+        f"p50={extras['qa_warm_ms_p50']} ms p95={extras['qa_warm_ms_p95']} ms "
+        f"(reference end-to-end: 3000-5000 ms, API-bound)")
 
 
 def bench_encoder(extras):
@@ -650,7 +889,10 @@ def main():
         ("ivf_1m", bench_ivf_1m),
         ("hybrid", bench_hybrid_at_scale),
         ("int8_10m", bench_int8_10m),
+        ("ivf_10m", bench_ivf_10m),
         ("traversal", bench_traversal),
+        ("traversal_1m", bench_traversal_1m),
+        ("qa_warm", bench_qa_warm),
         ("encoder", bench_encoder),
     ]
     for name, fn in sections:
