@@ -81,18 +81,11 @@ def int8_topk(
 
     if n >= _BLOCKED_MIN_ROWS:
         # large-N regime: lax.top_k over [B, N] dominates the whole scan
-        # (materializes 5 GB of scores and sorts 10M columns — 152.6 ms
-        # vs 23.8 ms for the fused-reduction matmul at 10M×1024/B=127,
-        # ops/partial_topk.py).  The PartialReduce two-stage keeps the
-        # scores out of HBM entirely and re-scores candidates with the
-        # same order-invariant int8 dot — bit-identical values.
-        from .partial_topk import partial_int8_topk, probe_bin_model
-
-        model = probe_bin_model(n, k)
-        if model is not None:
-            return partial_int8_topk(q, emb_i8, row_scale, k, model, mask=mask)
-        # backends whose PartialReduce layout fails verification (CPU)
-        # take the reduce_window two-stage instead
+        # (it materializes 5 GB of scores and sorts 10M columns at
+        # 10M×1024/B=127).  The reduce_window two-stage shrinks the sort
+        # domain to [B, N/256] bit-identically; callers who can trade a
+        # measured sliver of recall for the corpus-read roofline use
+        # ops.topk.approx_topk instead (the engine's scan_rt knob).
         return twostage_topk(q, emb_i8, k, row_scale=row_scale, mask=mask)
     scores = _mask_scores(int8_scores(q, emb_i8, row_scale), mask)
     vals, idx = jax.lax.top_k(scores, k)

@@ -105,19 +105,30 @@ def twostage_topk(
 
 
 def large_topk_from_scores(
-    scores: jax.Array, k: int
+    scores: jax.Array, k: int, approx_rt: Optional[float] = None
 ) -> Tuple[jax.Array, jax.Array]:
     """``lax.top_k`` semantics over a wide materialized score matrix
-    without sorting all columns: routes to the PartialReduce two-stage
-    (ops/partial_topk — the fused bin-max reads the scores once; measured
-    the only fast stage 1 on the TPU backend) when the probed bin model
-    verifies, else to the reduce_window two-stage (CPU)."""
-    from .partial_topk import partial_from_scores, probe_bin_model
+    without sorting all columns.
 
-    n = scores.shape[-1]
-    model = probe_bin_model(n, min(k, n))
-    if model is not None:
-        return partial_from_scores(scores, k, model)
+    Default (``approx_rt=None``) is the EXACT reduce_window two-stage
+    (:func:`twostage_from_scores` — bit-identical values and tie-breaks).
+    With ``approx_rt`` set, routes to the TPU's fused PartialReduce
+    (``lax.approx_max_k``) at that recall target — ~2× faster at
+    [127, 10M] but approximate; callers own the recall bookkeeping (the
+    bench measures it; engine exposes it as ``SearchConfig.scan_rt``).
+
+    A fully-exact PartialReduce two-stage (probe the bin layout, re-score
+    the winning bins' members) was built and then REMOVED: measured on
+    v5e, the bin→member mapping differs not only with batch size but with
+    the operand's fusion context (an eagerly materialized [8, 10M] input
+    bins parity-interleaved stride-2 where the same shape broadcast
+    inside a jit bins contiguous), so no probe can be guaranteed to share
+    the production executable's layout — a silent-wrong-results land mine
+    in a path documented as exact.  See DESIGN.md "PartialReduce".
+    """
+    if approx_rt is not None:
+        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=approx_rt)
+        return vals, idx.astype(jnp.int32)
     return twostage_from_scores(scores, k)
 
 
@@ -269,6 +280,49 @@ def blocked_topk(
     return vals, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def approx_topk(
+    q: jax.Array,
+    emb: jax.Array,
+    k: int,
+    recall_target: float = 0.999,
+    mask: Optional[jax.Array] = None,
+    row_scale: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fast large-N scan via the TPU's fused PartialReduce.
+
+    ``lax.approx_max_k`` is the ONE top-k reduction XLA fuses into the
+    matmul epilogue — at [127, 10M] int8 the whole scan runs at the
+    corpus-read roofline (~24 ms) where materializing the [B, N] scores
+    for ``lax.top_k`` costs 5 GB of HBM write+read plus a 10M-column
+    sort.  Approximate: PartialReduce keeps only the max of each of ~n/256
+    disjoint bins, so a query whose true top-k has two hits in one bin
+    loses the weaker one (per-element recall ≈ ``recall_target``; the
+    bench MEASURES it vs the exact scan).  This is the TPU-native
+    analogue of serving FAISS-IVF instead of flat — same contract as
+    :func:`dense_topk` otherwise.
+
+    Replaces the reference's FAISS flat search (src/retrieval.py:1140) at
+    the 10M scale where FAISS itself would switch to IVF/HNSW.
+    """
+    n = emb.shape[0]
+    k = min(k, n)
+    if emb.dtype == jnp.int8:
+        from .quant import int8_scores
+
+        if row_scale is None:
+            raise ValueError("int8 emb requires row_scale (see ops/quant.py)")
+        scores = int8_scores(q, emb, row_scale)
+    else:
+        scores = jnp.dot(
+            q, emb.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    scores = _mask_scores(scores, mask)
+    vals, idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    return vals, idx.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _xla_topk(q: jax.Array, emb: jax.Array, mask: Optional[jax.Array], k: int):
     # HIGHEST → true f32 accumulation on the MXU (FAISS-exact parity);
@@ -319,24 +373,13 @@ def dense_topk(
         # both Pallas variants (grid and manual-DMA streaming) at every
         # scale tried — 168 GB/s f32 / 102 GB/s bf16 vs 88-158 GB/s — so
         # auto routes to XLA, and above _BLOCKED_MIN_ROWS to the exact
-        # PartialReduce two-stage (lax.top_k over huge N is the dominant
-        # cost there — 152.6 vs 23.8 ms at [127, 10M]; ops/partial_topk).
-        # The Pallas kernels remain available explicitly (impl="pallas",
-        # ops.pallas_topk_stream) as the base for future tuning.
+        # reduce_window two-stage (lax.top_k over huge N is the dominant
+        # cost there; see twostage_topk).  The Pallas kernels remain
+        # available explicitly (impl="pallas", ops.pallas_topk_stream) as
+        # the base for future tuning; the approximate fused scan is
+        # :func:`approx_topk`.
         impl = "twostage" if n >= _BLOCKED_MIN_ROWS else "xla"
     if impl == "twostage":
-        from .partial_topk import probe_bin_model
-
-        if probe_bin_model(n, k) is not None:
-            # f32/bf16 keep the materialized-scores variant: stage 3 reads
-            # the SAME scores the one-shot sorts, so values stay
-            # bit-identical (a fused re-score would re-accumulate f32 in a
-            # different order)
-            scores = jnp.dot(
-                q, emb.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return large_topk_from_scores(_mask_scores(scores, mask), k)
         return twostage_topk(q, emb, k, mask=mask)
     if impl == "blocked":
         return blocked_topk(q, emb, k, mask=mask)

@@ -71,6 +71,12 @@ class SearchConfig:
     # anchor/traversal paths stay exact; recall governed by nprobe
     use_ivf: bool = False
     ivf_nprobe: int = 8
+    # 10M-scale scan mode: when set (e.g. 0.999), huge-window/full-corpus
+    # top-k runs the TPU's fused PartialReduce (ops.topk.approx_topk /
+    # lax.approx_max_k) at this recall target instead of the exact
+    # two-stage — ~2-5× the qps at a measured per-element recall cost
+    # (bench.py reports it).  None = exact everywhere.
+    scan_rt: Optional[float] = None
 
 
 @functools.partial(jax.jit, static_argnames=("max_q",))
@@ -182,11 +188,13 @@ def search_device(
                 # huge per-doc windows (10M-corpus configs: W = N/M ≈
                 # 1.67M): one top_k over [M·Q, W] dominates the whole
                 # hybrid graph — same disease, same cure as the int8
-                # exact scan (ops/partial_topk; reduce_window fallback on
-                # backends without a verified PartialReduce layout)
+                # exact scan (exact reduce_window two-stage, or the fused
+                # approximate PartialReduce when cfg.scan_rt is set)
                 from ..ops.topk import large_topk_from_scores
 
-                v, r_loc = large_topk_from_scores(s.reshape(M * Q, window), k)
+                v, r_loc = large_topk_from_scores(
+                    s.reshape(M * Q, window), k, approx_rt=cfg.scan_rt
+                )
             else:
                 v, r_loc = jax.lax.top_k(s.reshape(M * Q, window), k)
             r_glob = r_loc + jnp.repeat(sa, Q)[:, None]

@@ -249,3 +249,50 @@ def test_twostage_topk_nondivisible_tail(rng):
     np.testing.assert_array_equal(np.asarray(xi), np.asarray(ti))
     np.testing.assert_array_equal(np.asarray(xv), np.asarray(tv))
     assert 997 in np.asarray(ti)[1]
+
+
+def test_approx_topk_contract(rng):
+    """approx_topk: dense_topk contract (shapes, mask, int8) with
+    recall governed by recall_target.  On CPU lax.approx_max_k is an
+    exact fallback, so results must equal the exact scan here; on TPU
+    the bench measures the actual recall (bench.py int8_10m section)."""
+    from rag_challenge_2_tpu.ops.quant import quantize_rows
+    from rag_challenge_2_tpu.ops.topk import approx_topk, dense_topk
+
+    B, N, D, k = 5, 4096, 64, 10
+    q = rng.normal(size=(B, D)).astype(np.float32)
+    emb = rng.normal(size=(N, D)).astype(np.float32)
+    mask = rng.random(N) > 0.3
+    av, ai = approx_topk(
+        jnp.asarray(q), jnp.asarray(emb), k, mask=jnp.asarray(mask)
+    )
+    assert av.shape == (B, k) and ai.shape == (B, k) and ai.dtype == jnp.int32
+    assert mask[np.asarray(ai)].all(), "masked rows must never be returned"
+    xv, _ = dense_topk(jnp.asarray(q), jnp.asarray(emb), k,
+                       mask=jnp.asarray(mask), impl="xla")
+    np.testing.assert_allclose(np.asarray(av), np.asarray(xv), rtol=1e-5)
+    # int8 store path
+    e8, scale = quantize_rows(jnp.asarray(emb))
+    av8, ai8 = approx_topk(jnp.asarray(q), e8, k, row_scale=scale)
+    v8, i8 = dense_topk(jnp.asarray(q), e8, k, row_scale=scale)
+    np.testing.assert_allclose(np.asarray(av8), np.asarray(v8), rtol=1e-5)
+    with pytest.raises(ValueError):
+        approx_topk(jnp.asarray(q), e8, k)  # int8 without row_scale
+
+
+def test_large_topk_from_scores_modes(rng):
+    """Exact mode = lax.top_k parity; approx_rt mode honors the contract
+    (sorted desc, valid indices; exact on the CPU fallback)."""
+    from rag_challenge_2_tpu.ops.topk import large_topk_from_scores
+
+    B, N, k = 4, 3000, 7
+    s = rng.normal(size=(B, N)).astype(np.float32)
+    ev, ei = large_topk_from_scores(jnp.asarray(s), k)
+    ov = np.sort(s, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(np.asarray(ev), ov, rtol=1e-6)
+    av, ai = large_topk_from_scores(jnp.asarray(s), k, approx_rt=0.99)
+    a_v, a_i = np.asarray(av), np.asarray(ai)
+    assert (np.diff(a_v, axis=1) <= 1e-6).all()
+    np.testing.assert_allclose(
+        np.take_along_axis(s, a_i, axis=1), a_v, rtol=1e-6
+    )
