@@ -77,16 +77,12 @@ def int8_topk(
     """
     n = emb_i8.shape[0]
     k = min(k, n)
-    from .topk import _BLOCKED_MIN_ROWS, twostage_topk
-
-    if n >= _BLOCKED_MIN_ROWS:
-        # large-N regime: lax.top_k over [B, N] dominates the whole scan
-        # (it materializes 5 GB of scores and sorts 10M columns at
-        # 10M×1024/B=127).  The reduce_window two-stage shrinks the sort
-        # domain to [B, N/256] bit-identically; callers who can trade a
-        # measured sliver of recall for the corpus-read roofline use
-        # ops.topk.approx_topk instead (the engine's scan_rt knob).
-        return twostage_topk(q, emb_i8, k, row_scale=row_scale, mask=mask)
+    # One-shot at every N: at [127, 10M] the sort over [B, N] is ~2/3 of
+    # the 79.6 ms call, but every exact two-stage tried either loses to
+    # it or cannot be trusted/compiled on this backend (DESIGN.md
+    # "PartialReduce").  Callers who can trade a measured sliver of
+    # recall for the corpus-read roofline (~24 ms) use ops.topk.approx_topk
+    # (the engine's scan_rt knob); bounded-memory exact is blocked_topk.
     scores = _mask_scores(int8_scores(q, emb_i8, row_scale), mask)
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)

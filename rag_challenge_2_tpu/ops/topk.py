@@ -24,27 +24,14 @@ import jax.numpy as jnp
 
 NEG_INF = -3.0e38  # plain float so Pallas kernels don't capture a traced const
 
-# Row count above which the exact scan switches from one [B, N] score
-# materialization + one huge top_k to `twostage_topk`.  Profiled at
-# 10M×1024 int8, B=127 on v5e: the matmul itself is 24 ms (compute-bound,
-# ~111 TF/s) but `lax.top_k` over the [127, 10M] scores adds another
-# 52 ms — 2/3 of the whole call (79 ms total, 1598 qps, BENCH_r02).
-# Blockwise scanning does NOT fix this (top_k cost is per-element:
-# measured 1458-1529 qps); shrinking the top_k DOMAIN does.
+# Rows per lax.scan step of blocked_topk (the bounded-memory exact scan).
 BLOCK_ROWS = 1 << 20
-_BLOCKED_MIN_ROWS = 2 * BLOCK_ROWS
-TWOSTAGE_GROUP = 256
-# Column count above which a caller holding an already-materialized score
-# matrix should prefer twostage_from_scores over one lax.top_k: the sort
-# is ~10× the cost of the group-max read per element, but below ~half a
+# Column count above which an approximate large-scan mode (engine
+# SearchConfig.scan_rt → approx_topk / large_topk_from_scores approx_rt)
+# pays: the [B, N] sort is the dominant cost of an exact scan there
+# (at [127, 10M] int8 the sort is ~52 of 79.6 ms), while below ~half a
 # million columns both are dispatch-latency noise.
-TWOSTAGE_MIN_COLS = 1 << 19
-# Max group-max output columns per reduce_window call (see
-# twostage_from_scores): Mosaic's scoped-VMEM footprint for a strided
-# reduce_window is ~2.4 × group × out_cols × 4 B (measured from its own
-# OOM reports at 10M×1024/B=127), and the budget is 16 MB — 2048 output
-# columns keeps a 256-group reduce at ~5 MB.
-_GMAX_OUT_COLS = 2048
+LARGE_TOPK_MIN_COLS = 1 << 19
 
 
 def _mask_scores(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
@@ -55,133 +42,45 @@ def _mask_scores(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
     return jnp.where(mask, scores, NEG_INF)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "group"))
-def twostage_topk(
-    q: jax.Array,
-    emb: jax.Array,
-    k: int,
-    row_scale: Optional[jax.Array] = None,
-    mask: Optional[jax.Array] = None,
-    group: int = TWOSTAGE_GROUP,
-) -> Tuple[jax.Array, jax.Array]:
-    """EXACT top-k that never runs ``lax.top_k`` over the full ``[B, N]``.
-
-    Profiled at 10M×1024 int8, B=127 (v5e): the int8 matmul is 24 ms
-    (compute-bound) but ``lax.top_k`` over the [127, 10M] scores adds
-    another 52 ms.  Here the scores are materialized ONCE (exactly as the
-    one-shot kernel does — the write overlaps the matmul), then:
-
-    * Stage 1: per-group maxima via a strided ``reduce_window`` (one
-      linear read of the scores; a reshape-based reduce would force XLA
-      to COPY the 5 GB score matrix for re-tiling — measured OOM).
-    * Stage 2: ``top_k`` over the ``[B, N/L]`` group maxima.
-    * Stage 3: gather the winning groups' score columns and run the
-      exact ``top_k`` over ``[B, k·L]``.
-
-    Exactness: every true top-k element's group-max is ≥ that element, so
-    its group survives stage 2 — the k groups with the largest maxima
-    contain all top-k elements (they occupy ≤ k groups, and any group
-    they occupy beats any unselected group).  Tie-break parity with the
-    one-shot ``lax.top_k`` (lowest index first): group ids are sorted
-    ascending before the gather, so stage-3 candidates are in ascending
-    global row order.  Values are bit-identical — stage 3 reads the SAME
-    materialized scores the one-shot path sorts.
-
-    A non-divisible tail (``N % group``) is handled by always including
-    the tail rows as stage-3 candidates — any N works.
-
-    Args/returns as :func:`blocked_topk`.
-    """
-    if emb.dtype == jnp.int8:
-        from .quant import int8_scores
-
-        scores = int8_scores(q, emb, row_scale)
-    else:
-        scores = jnp.dot(
-            q, emb.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    return twostage_from_scores(_mask_scores(scores, mask), k, group=group)
-
-
 def large_topk_from_scores(
     scores: jax.Array, k: int, approx_rt: Optional[float] = None
 ) -> Tuple[jax.Array, jax.Array]:
-    """``lax.top_k`` semantics over a wide materialized score matrix
-    without sorting all columns.
+    """``lax.top_k`` semantics over a wide materialized score matrix.
 
-    Default (``approx_rt=None``) is the EXACT reduce_window two-stage
-    (:func:`twostage_from_scores` — bit-identical values and tie-breaks).
-    With ``approx_rt`` set, routes to the TPU's fused PartialReduce
-    (``lax.approx_max_k``) at that recall target — ~2× faster at
+    Default (``approx_rt=None``) is the exact one-shot sort.  With
+    ``approx_rt`` set, routes to the TPU's fused PartialReduce
+    (``lax.approx_max_k``) at that recall target — ~3× faster at
     [127, 10M] but approximate; callers own the recall bookkeeping (the
-    bench measures it; engine exposes it as ``SearchConfig.scan_rt``).
+    bench measures it; the engine exposes it as ``SearchConfig.scan_rt``).
 
-    A fully-exact PartialReduce two-stage (probe the bin layout, re-score
-    the winning bins' members) was built and then REMOVED: measured on
-    v5e, the bin→member mapping differs not only with batch size but with
-    the operand's fusion context (an eagerly materialized [8, 10M] input
-    bins parity-interleaved stride-2 where the same shape broadcast
-    inside a jit bins contiguous), so no probe can be guaranteed to share
-    the production executable's layout — a silent-wrong-results land mine
-    in a path documented as exact.  See DESIGN.md "PartialReduce".
+    Two "exact without the huge sort" designs were built for this site
+    and then REMOVED after on-TPU measurement (full story in DESIGN.md
+    "PartialReduce"):
+
+    * a PartialReduce two-stage (probe the bin layout, re-score the
+      winning bins' members — 61 ms vs 79.6 ms one-shot): the bin→member
+      mapping depends on the operand's FUSION CONTEXT, not just its
+      shape (an eagerly materialized [8, 10M] input bins stride-2
+      parity-interleaved where the same shape broadcast inside a jit
+      bins contiguous), so no probe can be guaranteed to share the
+      production executable's layout — silent wrong results in a path
+      documented as exact;
+    * a reduce_window group-max two-stage: Mosaic fails to compile the
+      strided reduce_window at every large shape tried ([127, 10M] and
+      [48, 1.67M], even with the group-max output chunked to 2048
+      columns), so it cannot serve the shapes it exists for.
+
+    The exact tier is therefore the one-shot sort (``lax.top_k``; the
+    bounded-memory :func:`blocked_topk` for callers that cannot afford
+    the score matrix), and the fast tier is the fused PartialReduce with
+    MEASURED recall — the TPU-native analogue of FAISS switching from
+    flat to IVF at scale.
     """
     if approx_rt is not None:
         vals, idx = jax.lax.approx_max_k(scores, k, recall_target=approx_rt)
         return vals, idx.astype(jnp.int32)
-    return twostage_from_scores(scores, k)
-
-
-def twostage_from_scores(
-    scores: jax.Array, k: int, group: int = TWOSTAGE_GROUP
-) -> Tuple[jax.Array, jax.Array]:
-    """Stages 1-3 of :func:`twostage_topk` over an already-materialized
-    ``[B, N]`` score matrix — exact ``lax.top_k(scores, k)`` semantics
-    (values AND lowest-index tie-breaks) without ever sorting N columns.
-    Callers that build their scores differently (the engine's shared-scores
-    ``pair_topk`` windowed slices, retrieval/engine.py) reuse this."""
-    B, N = scores.shape
-    group = min(group, N)
-    G = N // group
-    n_main = G * group
-    tail = N - n_main
-    k = min(k, N)
-    kg = min(k, G)
-    # One reduce_window over all N columns compile-fails on TPU: Mosaic
-    # keeps the whole [B, G] output tile in scoped VMEM and [127, 39062]
-    # f32 (20.5 MB) exceeds the 16 MB budget.  Chunking the columns caps
-    # each output tile at [B, _GMAX_OUT_COLS] (≤4 MB at B=127) — XLA still
-    # fuses each slice+reduce, so the scores stream through VMEM once.
-    out_cols = _GMAX_OUT_COLS
-    col_chunk = out_cols * group
-    gparts = []
-    for s in range(0, n_main, col_chunk):
-        e = min(s + col_chunk, n_main)
-        gparts.append(jax.lax.reduce_window(
-            scores[:, s:e], NEG_INF, jax.lax.max,
-            window_dimensions=(1, group), window_strides=(1, group),
-            padding="VALID",
-        ))
-    gmax = gparts[0] if len(gparts) == 1 else jnp.concatenate(gparts, axis=1)
-    # [B, G]
-
-    _, gids = jax.lax.top_k(gmax, kg)                          # [B, kg]
-    gids = jnp.sort(gids, axis=1)                              # ascending rows
-    cand = (gids[:, :, None] * group
-            + jnp.arange(group, dtype=jnp.int32)[None, None, :]
-            ).reshape(B, kg * group)                           # [B, kg*L]
-    if tail:
-        # the tail rows belong to no full group; always candidates.  They
-        # have the HIGHEST row ids, so appending keeps ascending order —
-        # tie-break parity with the one-shot top_k is preserved.
-        tail_idx = jnp.broadcast_to(
-            jnp.arange(n_main, N, dtype=jnp.int32)[None, :], (B, tail)
-        )
-        cand = jnp.concatenate([cand, tail_idx], axis=1)
-    cs = jnp.take_along_axis(scores, cand, axis=1)
-    vals, j = jax.lax.top_k(cs, k)
-    idx = jnp.take_along_axis(cand, j, axis=1).astype(jnp.int32)
-    return vals, idx
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block"))
@@ -371,16 +270,14 @@ def dense_topk(
     if impl == "auto":
         # Measured on v5e (500k-2M x 1024): XLA's fused matmul+top_k beats
         # both Pallas variants (grid and manual-DMA streaming) at every
-        # scale tried — 168 GB/s f32 / 102 GB/s bf16 vs 88-158 GB/s — so
-        # auto routes to XLA, and above _BLOCKED_MIN_ROWS to the exact
-        # reduce_window two-stage (lax.top_k over huge N is the dominant
-        # cost there; see twostage_topk).  The Pallas kernels remain
-        # available explicitly (impl="pallas", ops.pallas_topk_stream) as
-        # the base for future tuning; the approximate fused scan is
-        # :func:`approx_topk`.
-        impl = "twostage" if n >= _BLOCKED_MIN_ROWS else "xla"
-    if impl == "twostage":
-        return twostage_topk(q, emb, k, mask=mask)
+        # scale tried — 168 GB/s f32 / 102 GB/s bf16 vs 88-158 GB/s — and
+        # at 10M it also beats every exact two-stage tried (DESIGN.md
+        # "PartialReduce"), so auto routes to XLA at every N.  The Pallas
+        # kernels remain available explicitly (impl="pallas",
+        # ops.pallas_topk_stream) as the base for future tuning;
+        # bounded-memory exact is impl="blocked"; the fast approximate
+        # scan is :func:`approx_topk`.
+        impl = "xla"
     if impl == "blocked":
         return blocked_topk(q, emb, k, mask=mask)
     if impl == "pallas":

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..index.schema import CorpusIndex, CorpusMeta
 from ..ops.aggregate import FusedCandidates, fuse_hits
-from ..ops.topk import NEG_INF, TWOSTAGE_MIN_COLS
+from ..ops.topk import LARGE_TOPK_MIN_COLS, NEG_INF
 from .traversal import emit_hits, traverse, traverse_windowed
 
 METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}
@@ -184,12 +184,12 @@ def search_device(
                 wmask[:, None, :] & q_valid[None, :, None] & doc_valid[:, None, None],
                 s, NEG_INF,
             )
-            if window >= TWOSTAGE_MIN_COLS:
+            if window >= LARGE_TOPK_MIN_COLS:
                 # huge per-doc windows (10M-corpus configs: W = N/M ≈
-                # 1.67M): one top_k over [M·Q, W] dominates the whole
-                # hybrid graph — same disease, same cure as the int8
-                # exact scan (exact reduce_window two-stage, or the fused
-                # approximate PartialReduce when cfg.scan_rt is set)
+                # 1.67M): the sort in top_k over [M·Q, W] dominates the
+                # whole hybrid graph — cfg.scan_rt trades a measured
+                # sliver of recall for the fused PartialReduce scan
+                # (ops/topk.py large_topk_from_scores; exact when None)
                 from ..ops.topk import large_topk_from_scores
 
                 v, r_loc = large_topk_from_scores(

@@ -311,19 +311,35 @@ def test_traversal_window_copy_cap_fallback(engine, rng, monkeypatch):
         assert a["method_count"] == b["method_count"]
 
 
-def test_windowed_pair_topk_twostage_parity(engine, rng, monkeypatch):
-    """Forcing the windowed pair_topk through twostage_from_scores must be
-    bit-identical to the one-shot top_k slice path (the 10M-corpus regime
-    where W >= TWOSTAGE_MIN_COLS routes there automatically)."""
+def test_windowed_pair_topk_large_route_parity(engine, rng, monkeypatch):
+    """Forcing the windowed pair_topk through large_topk_from_scores (the
+    10M-corpus route, W >= LARGE_TOPK_MIN_COLS) must be bit-identical to
+    the direct top_k slice path when scan_rt is None (exact mode)."""
     import rag_challenge_2_tpu.retrieval.engine as eng_mod
 
     eng, reports, embs = engine
     q = _q_for(embs, 1, 3, rng)
     cfg = SearchConfig(method="basic", top_k=9, top_n=14, use_bm25=True)
     base = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
-    monkeypatch.setattr(eng_mod, "TWOSTAGE_MIN_COLS", 1)
+    monkeypatch.setattr(eng_mod, "LARGE_TOPK_MIN_COLS", 1)
     forced = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
     assert [r["rep_row"] for r in forced] == [r["rep_row"] for r in base]
     for a, b in zip(forced, base):
         assert abs(a["distance"] - b["distance"]) < 1e-6
         assert a["method_count"] == b["method_count"]
+
+
+def test_windowed_pair_topk_scan_rt_mode(engine, rng, monkeypatch):
+    """scan_rt set + huge-window route: results still valid (routed rows
+    only, sorted scores) and on the CPU approx fallback identical to
+    exact; on TPU the bench measures the recall cost."""
+    import rag_challenge_2_tpu.retrieval.engine as eng_mod
+
+    eng, reports, embs = engine
+    q = _q_for(embs, 1, 3, rng)
+    cfg = SearchConfig(method="basic", top_k=9, top_n=14)
+    base = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    monkeypatch.setattr(eng_mod, "LARGE_TOPK_MIN_COLS", 1)
+    cfg_rt = SearchConfig(method="basic", top_k=9, top_n=14, scan_rt=0.99)
+    fast = eng.materialize(eng.search(q, "金盘科技", cfg=cfg_rt), cfg_rt)
+    assert [r["rep_row"] for r in fast] == [r["rep_row"] for r in base]

@@ -165,91 +165,6 @@ def test_blocked_topk_fully_masked_query(rng):
 
 # -------------------------------------------------------------- two-stage
 
-def test_twostage_topk_bit_identical_to_xla(rng):
-    """Exact two-stage (group-max → top-k groups → rescore) must match the
-    one-shot kernel bit-for-bit on int8 (integer accumulation) and
-    reproduce values/ties on f32, incl. ties planted across groups."""
-    from rag_challenge_2_tpu.ops.topk import _xla_topk, twostage_topk
-
-    B, N, D, k = 5, 1024, 32, 9           # N % group == 0 with group=64
-    q = rng.normal(size=(B, D)).astype(np.float32)
-    emb = rng.normal(size=(N, D)).astype(np.float32)
-    emb[200] = emb[100]                   # exact cross-group ties
-    emb[900] = emb[100]
-    xv, xi = _xla_topk(jnp.asarray(q), jnp.asarray(emb), None, k)
-    tv, ti = twostage_topk(jnp.asarray(q), jnp.asarray(emb), k, group=64)
-    np.testing.assert_array_equal(np.asarray(xi), np.asarray(ti))
-    np.testing.assert_array_equal(np.asarray(xv), np.asarray(tv))
-
-
-def test_twostage_topk_int8_index_exact(rng):
-    from rag_challenge_2_tpu.ops.quant import int8_scores, quantize_rows
-    from rag_challenge_2_tpu.ops.topk import twostage_topk
-
-    B, N, D, k = 4, 768, 32, 10
-    q = rng.normal(size=(B, D)).astype(np.float32)
-    x = rng.normal(size=(N, D)).astype(np.float32)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    x[400] = x[40]                        # quantizes identically → exact tie
-    emb8, scale = quantize_rows(jnp.asarray(x))
-    s = np.asarray(int8_scores(jnp.asarray(q), emb8, scale))
-    oi = np.argsort(-s, axis=1, kind="stable")[:, :k]
-    ov = np.take_along_axis(s, oi, axis=1)
-    tv, ti = twostage_topk(jnp.asarray(q), emb8, k, row_scale=scale, group=128)
-    np.testing.assert_array_equal(np.asarray(ti), oi)
-    # the oracle is a separately-jitted int8_scores: XLA may fuse its
-    # dequant multiplies differently, so values match only to ulps
-    np.testing.assert_allclose(np.asarray(tv), ov, rtol=1e-6)
-
-
-@pytest.mark.parametrize("mask_kind", ["row", "per_query"])
-def test_twostage_topk_masks(rng, mask_kind):
-    from rag_challenge_2_tpu.ops.topk import _xla_topk, twostage_topk
-
-    B, N, D, k = 3, 512, 16, 6
-    q = rng.normal(size=(B, D)).astype(np.float32)
-    emb = rng.normal(size=(N, D)).astype(np.float32)
-    mask = (
-        rng.random(N) > 0.4 if mask_kind == "row" else rng.random((B, N)) > 0.4
-    )
-    xv, xi = _xla_topk(jnp.asarray(q), jnp.asarray(emb), jnp.asarray(mask), k)
-    tv, ti = twostage_topk(
-        jnp.asarray(q), jnp.asarray(emb), k, mask=jnp.asarray(mask), group=64
-    )
-    np.testing.assert_array_equal(np.asarray(xi), np.asarray(ti))
-    np.testing.assert_array_equal(np.asarray(xv), np.asarray(tv))
-
-
-def test_twostage_topk_clustered_in_one_group(rng):
-    """All true top-k inside ONE group (the adversarial case for group
-    selection) must still be exact."""
-    from rag_challenge_2_tpu.ops.topk import _xla_topk, twostage_topk
-
-    B, N, D, k = 2, 512, 16, 8
-    q = rng.normal(size=(B, D)).astype(np.float32)
-    emb = rng.normal(size=(N, D)).astype(np.float32) * 0.01
-    emb[128:136] = q[0] * 10              # top-8 all in group 2 (of 64-wide)
-    xv, xi = _xla_topk(jnp.asarray(q), jnp.asarray(emb), None, k)
-    tv, ti = twostage_topk(jnp.asarray(q), jnp.asarray(emb), k, group=64)
-    np.testing.assert_array_equal(np.asarray(xi), np.asarray(ti))
-    np.testing.assert_allclose(np.asarray(xv), np.asarray(tv), rtol=1e-5)
-
-
-def test_twostage_topk_nondivisible_tail(rng):
-    """N % group != 0: tail rows (no full group) are always candidates —
-    exactness holds for any N, incl. a top hit planted IN the tail."""
-    from rag_challenge_2_tpu.ops.topk import _xla_topk, twostage_topk
-
-    B, N, D, k = 3, 1000, 16, 6           # group=64 → tail of 40 rows
-    q = rng.normal(size=(B, D)).astype(np.float32)
-    emb = rng.normal(size=(N, D)).astype(np.float32) * 0.1
-    emb[997] = q[1] * 5                   # best hit lives in the tail
-    xv, xi = _xla_topk(jnp.asarray(q), jnp.asarray(emb), None, k)
-    tv, ti = twostage_topk(jnp.asarray(q), jnp.asarray(emb), k, group=64)
-    np.testing.assert_array_equal(np.asarray(xi), np.asarray(ti))
-    np.testing.assert_array_equal(np.asarray(xv), np.asarray(tv))
-    assert 997 in np.asarray(ti)[1]
-
 
 def test_approx_topk_contract(rng):
     """approx_topk: dense_topk contract (shapes, mask, int8) with
