@@ -282,10 +282,32 @@ def run_quality_eval(
     results["encoder_bm25_distill"] = eval_dense(distill.embed, ds)
     log(f"unsupervised + bm25-distill {ict_steps} steps "
         f"(final {info['final']}): {results['encoder_bm25_distill']}")
-    model = distill if (
-        results["encoder_bm25_distill"]["hit@10"]
-        > results["encoder_unsupervised"]["hit@10"]
-    ) else model
+
+    # LISTWISE BM25 distillation (models/pretrain.py soft_target_weight):
+    # instead of swapping the single positive for BM25's argmax, every
+    # step's [B, B] InfoNCE targets carry the teacher's full score
+    # distribution over the batch — with hard (lexical-neighborhood)
+    # batches, the dense model learns BM25's *ranking* among close
+    # candidates, which is exactly what hit@10 measures.
+    listwise, info = pretrain_encoder(
+        ds.chunk_texts,
+        enc_cfg=cfg,
+        pre_cfg=PretrainConfig(
+            steps=ict_steps, batch_size=batch_size, seed=seed,
+            hard_batch_prob=0.5, soft_target_weight=0.8,
+        ),
+    )
+    results["encoder_bm25_listwise"] = eval_dense(listwise.embed, ds)
+    log(f"unsupervised + bm25-listwise {ict_steps} steps "
+        f"(final {info['final']}): {results['encoder_bm25_listwise']}")
+
+    unsup = {
+        "encoder_unsupervised": model,
+        "encoder_bm25_distill": distill,
+        "encoder_bm25_listwise": listwise,
+    }
+    best = max(unsup, key=lambda k: results[k]["hit@10"])
+    model = unsup[best]
 
     if supervised_steps:
         from ..models.train import TrainConfig, init_training

@@ -63,6 +63,17 @@ class PretrainConfig:
     # neighborhood — in-batch negatives become lexically-close hard
     # negatives (same company/other year, same metric/other company)
     hard_batch_prob: float = 0.0
+    # LISTWISE BM25 distillation: with weight w > 0 each step also emits a
+    # [B, B] soft target matrix (1-w)·I + w·softmax(S/τ) where S is the
+    # corpus-CSR BM25 score of every query crop against every passage
+    # chunk in the batch — the dense score distribution is pulled toward
+    # the sparse teacher's RANKING, not just its argmax (the
+    # bm25_neighbor_prob mode).  Single-positive InfoNCE over crops
+    # teaches template-level similarity and smooths away the
+    # discriminative tokens (company/year/value); the listwise target
+    # keeps their relative weights.
+    soft_target_weight: float = 0.0
+    soft_target_temp: float = 2.0
 
 
 def ict_pairs(
@@ -128,7 +139,8 @@ class PairSampler:
         if not self.texts:
             raise ValueError("corpus has no chunks long enough for pretraining")
         self._sparse = None
-        if cfg.bm25_neighbor_prob > 0 or cfg.hard_batch_prob > 0:
+        if (cfg.bm25_neighbor_prob > 0 or cfg.hard_batch_prob > 0
+                or cfg.soft_target_weight > 0):
             from ..index.build import _build_sparse
 
             n_pad = -(-len(self.texts) // 128) * 128
@@ -151,7 +163,14 @@ class PairSampler:
         s = np.asarray(bm25_scores(self._sparse, qt, self._n_pad))
         return s[:, : len(self.texts)]
 
-    def sample(self, rng: np.random.Generator) -> Tuple[List[str], List[str]]:
+    def sample(
+        self, rng: np.random.Generator
+    ) -> Tuple[List[str], List[str], Optional[np.ndarray]]:
+        """One step's batch: (queries, passages, soft_targets).
+
+        ``soft_targets`` is None unless ``cfg.soft_target_weight > 0``, in
+        which case it is the [B, B] row-stochastic listwise matrix for
+        models/train.py ``contrastive_loss(targets=...)``."""
         cfg = self.cfg
         B = cfg.batch_size
         if self._sparse is not None and rng.random() < cfg.hard_batch_prob:
@@ -167,6 +186,7 @@ class PairSampler:
             chunk_ids = [int(rng.integers(0, len(self.texts))) for _ in range(B)]
 
         queries, passages, want_nbr = [], [], []
+        passage_ids = list(chunk_ids)          # source chunk per passage
         for i, ci in enumerate(chunk_ids):
             t = self.texts[ci]
             if self._sparse is not None and rng.random() < cfg.bm25_neighbor_prob:
@@ -186,15 +206,30 @@ class PairSampler:
                     passages.append(t)
                 else:
                     passages.append(t[:start] + t[start + span_len :])
-        if want_nbr:
-            s = self._bm25_scores([queries[i] for i, _ in want_nbr])
-            for row, (i, ci) in enumerate(want_nbr):
-                sc = s[row].copy()
-                sc[ci] = -np.inf               # distill NEIGHBORS, not self
-                best = int(np.argmax(sc))
-                # a crop with no lexical neighbor falls back to its source
-                passages[i] = self.texts[best] if sc[best] > 0 else self.texts[ci]
-        return queries, passages
+        need_scores = bool(want_nbr) or cfg.soft_target_weight > 0
+        s = self._bm25_scores(queries) if need_scores else None
+        for i, ci in want_nbr:
+            sc = s[i].copy()
+            sc[ci] = -np.inf                   # distill NEIGHBORS, not self
+            best = int(np.argmax(sc))
+            # a crop with no lexical neighbor falls back to its source
+            if sc[best] > 0:
+                passages[i], passage_ids[i] = self.texts[best], best
+            else:
+                passages[i] = self.texts[ci]
+        targets = None
+        if cfg.soft_target_weight > 0:
+            # teacher distribution over the batch's passages: softmax of
+            # the query's corpus-BM25 score AT each passage's source chunk
+            # (duplicated sources legitimately split the teacher's mass)
+            sub = s[:, passage_ids] / max(cfg.soft_target_temp, 1e-6)
+            sub = sub - sub.max(axis=1, keepdims=True)
+            p = np.exp(sub)
+            p /= p.sum(axis=1, keepdims=True)
+            w = cfg.soft_target_weight
+            targets = ((1.0 - w) * np.eye(B, dtype=np.float32)
+                       + w * p.astype(np.float32))
+        return queries, passages, targets
 
 
 def pretrain_encoder(
@@ -217,10 +252,14 @@ def pretrain_encoder(
     # token sequences must stay inside the encoder's position table
     max_len = min(pre_cfg.max_len, enc_cfg.max_len)
     for i in range(pre_cfg.steps):
-        q_texts, p_texts = sampler.sample(rng)
+        q_texts, p_texts, targets = sampler.sample(rng)
         q = jnp.asarray(tokenize_batch(q_texts, max_len, enc_cfg.vocab_bits))
         p = jnp.asarray(tokenize_batch(p_texts, max_len, enc_cfg.vocab_bits))
-        params, opt_state, metrics = step(params, opt_state, q, p)
+        if targets is None:
+            params, opt_state, metrics = step(params, opt_state, q, p)
+        else:
+            params, opt_state, metrics = step(
+                params, opt_state, q, p, jnp.asarray(targets))
         if i % log_every == 0 or i == pre_cfg.steps - 1:
             history.append({
                 "step": i,

@@ -42,7 +42,7 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 def contrastive_loss(
     params, apply_fn, q_tokens: jax.Array, d_tokens: jax.Array,
-    temperature: float, moe_aux_weight: float = 0.01,
+    temperature: float, moe_aux_weight: float = 0.01, targets=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Symmetric InfoNCE with in-(global)-batch negatives.
 
@@ -51,13 +51,28 @@ def contrastive_loss(
     their load-balance aux term into the ``losses`` collection; it is
     collected here and added to the objective (without the mutable apply,
     flax silently discards sown values and the router would collapse
-    unpenalized)."""
+    unpenalized).
+
+    ``targets`` (optional, [B, B] row-stochastic) replaces the identity
+    labels with SOFT listwise targets — the distillation objective: the
+    dense q→d score distribution is pulled toward a teacher's (e.g. the
+    in-repo BM25 path's, models/pretrain.py PairSampler) instead of
+    one-hot self-match.  ``targets=None`` is exactly the classic InfoNCE.
+    The reverse (d→q) direction renormalizes ``targets.T`` per row, so
+    both directions distill the same teacher mass."""
     qe, qvars = apply_fn(params, q_tokens)
     de, dvars = apply_fn(params, d_tokens)
     logits = qe @ de.T / temperature                   # [B, B] global negatives
     labels = jnp.arange(logits.shape[0])
-    l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-    l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    if targets is None:
+        l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    else:
+        t_qd = targets
+        t_dq = targets.T / jnp.clip(
+            jnp.sum(targets.T, axis=1, keepdims=True), 1e-9)
+        l_qd = optax.softmax_cross_entropy(logits, t_qd).mean()
+        l_dq = optax.softmax_cross_entropy(logits.T, t_dq).mean()
     aux_leaves = jax.tree_util.tree_leaves(qvars) + jax.tree_util.tree_leaves(dvars)
     aux = sum((jnp.sum(a) for a in aux_leaves), jnp.float32(0.0))
     loss = (l_qd + l_dq) / 2 + moe_aux_weight * aux
@@ -73,19 +88,24 @@ def make_train_step(
 ):
     """Build the jitted, mesh-sharded train step.
 
-    Returned step signature: ``(params, opt_state, q_tokens, d_tokens) ->
-    (params, opt_state, metrics)``.  Batch inputs are constrained to shard
-    over ``data``; parameter shardings ride along from their placement.
+    Returned step signature: ``(params, opt_state, q_tokens, d_tokens
+    [, targets]) -> (params, opt_state, metrics)``; ``targets`` is the
+    optional [B, B] soft listwise matrix (see :func:`contrastive_loss`).
+    Batch inputs are constrained to shard over ``data``; parameter
+    shardings ride along from their placement.
     """
     data_sharding = NamedSharding(mesh, P("data", None))
 
     @jax.jit
-    def step(params, opt_state, q_tokens, d_tokens):
+    def step(params, opt_state, q_tokens, d_tokens, targets=None):
         q_tokens = jax.lax.with_sharding_constraint(q_tokens, data_sharding)
         d_tokens = jax.lax.with_sharding_constraint(d_tokens, data_sharding)
+        if targets is not None:
+            targets = jax.lax.with_sharding_constraint(targets, data_sharding)
         (loss, metrics), grads = jax.value_and_grad(
             contrastive_loss, has_aux=True
-        )(params, apply_fn, q_tokens, d_tokens, tc.temperature, tc.moe_aux_weight)
+        )(params, apply_fn, q_tokens, d_tokens, tc.temperature,
+          tc.moe_aux_weight, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -62,6 +62,10 @@ class RunConfig:
     ivf_nprobe: int = 8
     quantize_int8: bool = False     # int8 row store at load: 4× corpus per
                                     # HBM byte (index/store.quantize_index)
+    scan_rt: Optional[float] = None  # fast large-corpus scan mode: fused
+                                     # PartialReduce at this recall target
+                                     # instead of the exact sort (10M-scale
+                                     # configs; bench.py measures the cost)
 
 
 class Pipeline:
@@ -231,6 +235,7 @@ class Pipeline:
             use_bm25=rc.use_bm25_db,
             use_ivf=rc.use_ivf,
             ivf_nprobe=rc.ivf_nprobe,
+            scan_rt=rc.scan_rt,
             parallel_requests=rc.parallel_requests,
             answering_model=rc.answering_model,
         )

@@ -59,6 +59,9 @@ class QAConfig:
     use_bm25: bool = False          # hybrid dense+BM25 fusion in the engine
     use_ivf: bool = False           # clustered index for the basic method
     ivf_nprobe: int = 8
+    scan_rt: Optional[float] = None  # fast 10M-scale scan: fused
+                                     # PartialReduce at this recall target
+                                     # (SearchConfig.scan_rt); None = exact
     parallel_requests: int = 1
     answering_model: Optional[str] = None
     new_challenge_pipeline: bool = True
@@ -431,6 +434,7 @@ class QuestionsProcessor:
             use_bm25=cfg.use_bm25,
             use_ivf=cfg.use_ivf,
             ivf_nprobe=cfg.ivf_nprobe,
+            scan_rt=cfg.scan_rt,
         )
         t0 = time.perf_counter()
         wants_details = cfg.retrieval_method in (

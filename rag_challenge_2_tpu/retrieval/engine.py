@@ -74,8 +74,9 @@ class SearchConfig:
     # 10M-scale scan mode: when set (e.g. 0.999), huge-window/full-corpus
     # top-k runs the TPU's fused PartialReduce (ops.topk.approx_topk /
     # lax.approx_max_k) at this recall target instead of the exact
-    # two-stage — ~2-5× the qps at a measured per-element recall cost
-    # (bench.py reports it).  None = exact everywhere.
+    # one-shot sort — the sort dominates those graphs, so this trades a
+    # measured per-element recall cost for qps (bench.py reports both).
+    # None = exact everywhere.
     scan_rt: Optional[float] = None
 
 

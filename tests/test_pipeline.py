@@ -190,3 +190,17 @@ def test_pipeline_quantize_int8_processor(tmp_path, rng):
         assert ans["references"], "int8-served answers still carry citations"
     finally:
         os.environ.pop("RAGTPU_AUTO_PRETRAIN", None)
+
+
+def test_pipeline_threads_scan_rt(data_root, rng):
+    """RunConfig.scan_rt reaches the QA layer (and thus SearchConfig —
+    tests/test_engine.py covers the engine route); answers on a tiny
+    corpus are unchanged (the knob only engages at huge window sizes)."""
+    p = _offline_pipeline(data_root, rng)
+    p.run_config.scan_rt = 0.99
+    p.parse_pdf_reports()
+    p.process_parsed_reports()
+    proc = p.build_processor()
+    assert proc.config.scan_rt == 0.99
+    out = proc.get_answer_for_company("金盘科技", "2024年营业收入", "number")
+    assert out["final_answer"] == 68.9
