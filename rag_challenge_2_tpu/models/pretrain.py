@@ -133,13 +133,26 @@ class PairSampler:
     against it on device (ops/bm25) — mining cost is one [B, N] sparse
     scoring per step, negligible next to the train step."""
 
-    def __init__(self, chunk_texts: List[str], cfg: PretrainConfig):
+    def __init__(
+        self,
+        chunk_texts: List[str],
+        cfg: PretrainConfig,
+        teacher_score_fn=None,
+    ):
+        """``teacher_score_fn(texts) -> [n, n_chunks]`` replaces BM25 as
+        the mining teacher for the neighbor/hard-batch/listwise modes —
+        SELF-TRAINING: a previously distilled dense model re-mines its own
+        positives/negatives, bootstrapping past the lexical teacher's
+        reach (still label-free)."""
         self.cfg = cfg
         self.texts = [t for t in chunk_texts if len(t) >= 2 * cfg.min_span]
         if not self.texts:
             raise ValueError("corpus has no chunks long enough for pretraining")
+        self._teacher = teacher_score_fn
         self._sparse = None
-        if (cfg.bm25_neighbor_prob > 0 or cfg.hard_batch_prob > 0
+        self._mine = teacher_score_fn is not None
+        if teacher_score_fn is None and (
+                cfg.bm25_neighbor_prob > 0 or cfg.hard_batch_prob > 0
                 or cfg.soft_target_weight > 0):
             from ..index.build import _build_sparse
 
@@ -148,13 +161,17 @@ class PairSampler:
                 self.texts, n_pad, vocab_bits=cfg.bm25_vocab_bits
             )
             self._n_pad = n_pad
+            self._mine = True
 
     def _crop(self, t: str, rng: np.random.Generator) -> str:
         span = int(rng.integers(max(self.cfg.min_span, len(t) // 2), len(t) + 1))
         start = int(rng.integers(0, len(t) - span + 1))
         return t[start : start + span]
 
-    def _bm25_scores(self, queries: List[str]) -> np.ndarray:
+    def _teacher_scores(self, queries: List[str]) -> np.ndarray:
+        """[n, n_chunks] mining scores from the active teacher."""
+        if self._teacher is not None:
+            return np.asarray(self._teacher(queries))
         from ..ops.bm25 import bm25_scores, encode_queries
 
         qt = encode_queries(
@@ -173,10 +190,10 @@ class PairSampler:
         models/train.py ``contrastive_loss(targets=...)``."""
         cfg = self.cfg
         B = cfg.batch_size
-        if self._sparse is not None and rng.random() < cfg.hard_batch_prob:
+        if self._mine and rng.random() < cfg.hard_batch_prob:
             # hard-negative batch: one seed crop's BM25 neighborhood
             seed_t = self.texts[rng.integers(0, len(self.texts))]
-            s = self._bm25_scores([self._crop(seed_t, rng)])[0]
+            s = self._teacher_scores([self._crop(seed_t, rng)])[0]
             nbr = np.argsort(-s, kind="stable")[:B]
             chunk_ids = [int(i) for i in nbr]
             # pad tiny corpora by resampling
@@ -189,7 +206,7 @@ class PairSampler:
         passage_ids = list(chunk_ids)          # source chunk per passage
         for i, ci in enumerate(chunk_ids):
             t = self.texts[ci]
-            if self._sparse is not None and rng.random() < cfg.bm25_neighbor_prob:
+            if self._mine and rng.random() < cfg.bm25_neighbor_prob:
                 queries.append(self._crop(t, rng))
                 passages.append(None)          # filled from BM25 below
                 want_nbr.append((i, ci))
@@ -207,7 +224,7 @@ class PairSampler:
                 else:
                     passages.append(t[:start] + t[start + span_len :])
         need_scores = bool(want_nbr) or cfg.soft_target_weight > 0
-        s = self._bm25_scores(queries) if need_scores else None
+        s = self._teacher_scores(queries) if need_scores else None
         for i, ci in want_nbr:
             sc = s[i].copy()
             sc[ci] = -np.inf                   # distill NEIGHBORS, not self
@@ -239,16 +256,24 @@ def pretrain_encoder(
     train_cfg: TrainConfig = TrainConfig(lr=3e-4),
     mesh=None,
     log_every: int = 50,
+    teacher_score_fn=None,
+    init_params=None,
 ) -> Tuple[EmbeddingModel, Dict]:
-    """Train from scratch on the corpus; returns the ready EmbeddingModel."""
+    """Train from scratch on the corpus; returns the ready EmbeddingModel.
+
+    ``teacher_score_fn`` swaps the BM25 mining teacher for a custom one
+    (PairSampler docstring — dense self-training).  ``init_params``
+    continues from an existing checkpoint instead of random init."""
     enc_cfg = enc_cfg or EncoderConfig()
     if mesh is None:
         n = len(jax.devices())
         mesh = make_mesh({"data": n, "model": 1})
     module, params, opt_state, step = init_training(enc_cfg, train_cfg, mesh, seed=pre_cfg.seed)
+    if init_params is not None:
+        params = init_params
     rng = np.random.default_rng(pre_cfg.seed)
     history = []
-    sampler = PairSampler(chunk_texts, pre_cfg)
+    sampler = PairSampler(chunk_texts, pre_cfg, teacher_score_fn=teacher_score_fn)
     # token sequences must stay inside the encoder's position table
     max_len = min(pre_cfg.max_len, enc_cfg.max_len)
     for i in range(pre_cfg.steps):

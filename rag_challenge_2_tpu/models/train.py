@@ -34,9 +34,23 @@ class TrainConfig:
     sequence_parallel: bool = False  # shard sequence axis over 'model' too
     moe_aux_weight: float = 0.01     # Switch-style load-balance coefficient
     pp_microbatches: int = 2         # GPipe microbatches when mesh has 'pipe'
+    # lr schedule: total_steps > 0 switches the constant lr to linear
+    # warmup (warmup_steps) → cosine decay to lr*min_lr_frac at
+    # total_steps — long pretraining runs (models/pretrain.py) plateau
+    # under a constant lr once the contrastive task sharpens
+    total_steps: int = 0
+    warmup_steps: int = 100
+    min_lr_frac: float = 0.05
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    if tc.total_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=tc.lr,
+            warmup_steps=min(tc.warmup_steps, max(tc.total_steps // 10, 1)),
+            decay_steps=tc.total_steps, end_value=tc.lr * tc.min_lr_frac,
+        )
+        return optax.adamw(sched, weight_decay=tc.weight_decay)
     return optax.adamw(tc.lr, weight_decay=tc.weight_decay)
 
 
