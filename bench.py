@@ -568,6 +568,87 @@ def bench_ivf_10m(extras, N=10_000_000, D=1024, C=500_000, N_CENTERS=4096):
     extras["ivf_10m_int8_recall@10"] = round(best[1], 4)
     extras["ivf_10m_int8_qps"] = round(best[2], 1)
 
+    # ---- the PROBE-SERVED hybrid at 10M: cluster-ordered store ---------
+    # index/ivf.cluster_order_index makes ivf.emb_perm THE corpus (one
+    # 10.2 GB buffer for probes + flat paths — flat+IVF side by side would
+    # need 20.4 GB and cannot fit the chip), so the full routed
+    # dense+BM25+fusion graph can run its dense stage through probes
+    # instead of the exact scan (reference: FAISS serves IVF lists only,
+    # src/ingestion.py:79-102).
+    from rag_challenge_2_tpu.index.ivf import cluster_order_index
+    from rag_challenge_2_tpu.index.schema import CorpusIndex, SparseIndex
+    from rag_challenge_2_tpu.ops.pallas_bm25 import dma_slack
+    from rag_challenge_2_tpu.retrieval.engine import SearchConfig, search_device
+
+    N_DOCS, Q_BATCH, T, V_BITS, W_P = 6, 4, 64, 18, 512
+    V = 1 << V_BITS
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, W_P + 1, size=V).astype(np.int64)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    nnz_pad = -(-(nnz + dma_slack(W_P)) // 1024) * 1024
+    kc2, kt2, kqt2 = jax.random.split(jax.random.PRNGKey(3), 3)
+    sparse = SparseIndex(
+        indptr=jnp.asarray(indptr, jnp.int32),
+        chunk_ids=jax.random.randint(kc2, (nnz_pad,), 0, N, jnp.int32),
+        tf=jax.random.randint(kt2, (nnz_pad,), 1, 5, jnp.int32).astype(jnp.float32),
+        df=jnp.asarray(counts, jnp.float32),
+        chunk_len=jnp.full((N,), 300.0, jnp.float32),
+        avgdl=jnp.float32(300.0),
+        vocab_bits=V_BITS, max_postings=W_P, dma_pad=nnz_pad - nnz,
+    )
+    rows = jnp.arange(N, dtype=jnp.int32)
+    per_doc = N // N_DOCS
+    doc_id = (rows // per_doc).astype(jnp.int32)
+    # flat-layout CorpusIndex carrying METADATA only (emb is a 1-row
+    # placeholder — cluster_order_index replaces it with ivf.emb_perm, and
+    # the flat 10M store never exists in this section)
+    idx_flat = CorpusIndex(
+        emb=jnp.zeros((N, 1), jnp.int8), doc_id=doc_id, page=rows % 500 + 1,
+        year=2020 + doc_id, company_id=jnp.zeros((N,), jnp.int32),
+        kind=jnp.zeros((N,), jnp.int32), page_seg=rows // 4,
+        chunk_in_doc=rows % per_doc, valid=jnp.ones((N,), bool),
+        sparse=sparse, n_chunks=N, n_pages=N // 4, n_docs=N_DOCS, dim=D,
+    )
+    idx_co, _, ivf_co = cluster_order_index(idx_flat, None, ivf)
+    del idx_flat
+    doc_masks = jnp.stack([idx_co.doc_id == d for d in range(N_DOCS)])
+    doc_valid = jnp.asarray([True, True, True, False, False, False])
+    row_slot = jnp.where(
+        idx_co.doc_id < 3, idx_co.doc_id, N_DOCS).astype(jnp.int32)
+    cfg = SearchConfig(method="basic", top_k=30, max_queries=Q_BATCH,
+                       max_docs=N_DOCS, top_n=30, use_bm25=True,
+                       bm25_top_k=30, use_ivf=True,
+                       ivf_nprobe=int(extras["ivf_10m_int8_nprobe"]))
+    q_valid = jnp.ones((Q_BATCH,), bool)
+    q_terms = jax.random.randint(kqt2, (Q_BATCH, T), 0, V, jnp.int32)
+
+    def one_call(qs):
+        return search_device(
+            idx_co, qs, q_valid, doc_masks, doc_valid, cfg, q_terms,
+            ivf_co, row_slot,
+        )
+
+    reps = 16
+    q_batches = [
+        q[(r * Q_BATCH) % (NQ - Q_BATCH):][:Q_BATCH] for r in range(reps)
+    ]
+    sync(q_batches[-1])
+    fused, _ = one_call(q_batches[0])
+    sync(fused.score)
+
+    def window_calls():
+        out = None
+        for r in range(reps):
+            out = one_call(q_batches[r])
+        return out[0].score
+
+    qps = best_qps(lambda: window_calls(), Q_BATCH * reps, reps=1)
+    extras["hybrid_10m_ivf_qps"] = round(qps, 1)
+    log(f"hybrid 10M int8 IVF-served (cluster-ordered store, "
+        f"nprobe={cfg.ivf_nprobe}): {qps:.1f} qps")
+
 
 def bench_traversal(extras):
     """Graph-traversal methods at the val-set shape: batched on-device hop

@@ -299,6 +299,93 @@ def quantize_ivf(index: IVFIndex) -> IVFIndex:
     return dataclasses.replace(index, emb_perm=emb_i8, row_scale=scale)
 
 
+def cluster_order_index(idx, meta, ivf: IVFIndex):
+    """Rearrange a corpus into its IVF's cluster order — ONE store for both
+    the probe path and every flat path.
+
+    FAISS keeps vectors inside the IVF's inverted lists and nothing else
+    (reference src/ingestion.py:79-102 persists only the IVF artifact); the
+    flat-plus-IVF layout this framework uses elsewhere doubles row-store
+    HBM, which at the 10M int8 corpus (10.2 GB) cannot fit a v5e chip twice.
+    Cluster ordering makes ``ivf.emb_perm`` THE corpus: metadata columns and
+    ``CorpusMeta.chunk_texts`` are permuted to match (host-side, [N]-sized),
+    the BM25 CSR's chunk ids are remapped, and the returned IVF's
+    ``row_ids`` become the identity — probes gather from the same buffer
+    the traversal/anchor paths read.
+
+    Trade-off: documents are no longer contiguous row ranges, so
+    ``QueryEngine.window`` degrades to 0 (traversal hops fall back to the
+    masked full-corpus path — identical results).  Intended for probe-served
+    corpora (SearchConfig(use_ivf=True)) where the doc-windowed exact scan
+    is not the serving path anyway.
+
+    Returns ``(new_idx, new_meta, new_ivf)``; ``new_idx.emb`` IS
+    ``ivf.emb_perm`` (no copy).
+    """
+    from .schema import CorpusIndex, CorpusMeta
+
+    row_ids = np.asarray(ivf.row_ids)
+    P = int(row_ids.shape[0])
+    live = row_ids >= 0
+    src = np.where(live, row_ids, 0)
+    pad_pos = np.flatnonzero(~live)
+
+    def perm(col, fill):
+        c = np.asarray(col)
+        return jnp.asarray(np.where(live, c[src], fill).astype(c.dtype))
+
+    new_sparse = None
+    if idx.sparse is not None:
+        # sentinel for posting-buffer padding: prefer an invalid (padded)
+        # position; any in-range id is CORRECT either way — out-of-span
+        # postings are zero-masked by the kernel (ops/bm25.py
+        # _gather_contributions `in_window`), their row id never scores
+        sent = int(pad_pos[-1]) if pad_pos.size else 0
+        inv = np.full((idx.n_pad,), sent, np.int64)
+        inv[row_ids[live]] = np.flatnonzero(live)
+        old_cid = np.asarray(idx.sparse.chunk_ids)
+        new_cid = inv[np.clip(old_cid, 0, idx.n_pad - 1)].astype(np.int32)
+        new_clen = np.where(
+            live, np.asarray(idx.sparse.chunk_len)[src], 0.0
+        ).astype(np.float32)
+        new_sparse = dataclasses.replace(
+            idx.sparse,
+            chunk_ids=jnp.asarray(new_cid),
+            chunk_len=jnp.asarray(new_clen),
+        )
+
+    new_idx = CorpusIndex(
+        emb=ivf.emb_perm,
+        doc_id=perm(idx.doc_id, -1),
+        page=perm(idx.page, -1),
+        year=perm(idx.year, -1),
+        company_id=perm(idx.company_id, -1),
+        kind=perm(idx.kind, -1),
+        page_seg=perm(idx.page_seg, 2**30),
+        chunk_in_doc=perm(idx.chunk_in_doc, -1),
+        valid=jnp.asarray(np.where(live, np.asarray(idx.valid)[src], False)),
+        sparse=new_sparse,
+        emb_scale=ivf.row_scale if ivf.emb_perm.dtype == jnp.int8 else None,
+        n_chunks=idx.n_chunks,
+        n_pages=idx.n_pages,
+        n_docs=idx.n_docs,
+        dim=idx.dim,
+    )
+    new_meta = meta
+    if meta is not None:
+        texts = meta.chunk_texts
+        new_texts = [
+            texts[int(r)] if (r >= 0 and r < len(texts)) else ""
+            for r in row_ids
+        ]
+        new_meta = dataclasses.replace(meta, chunk_texts=new_texts)
+    new_ivf = dataclasses.replace(
+        ivf,
+        row_ids=jnp.asarray(np.where(live, np.arange(P), -1).astype(np.int32)),
+    )
+    return new_idx, new_meta, new_ivf
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "window"))
 def ivf_search(
     index: IVFIndex,

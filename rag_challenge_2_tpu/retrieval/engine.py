@@ -470,6 +470,25 @@ class QueryEngine:
             self.ivf = build_ivf(emb, valid=self.index.valid, **kwargs)
         return self.ivf
 
+    def cluster_order(self, **build_kwargs) -> "QueryEngine":
+        """A new engine over the corpus rearranged into IVF cluster order.
+
+        One row store serves both the probe path and the flat paths
+        (index/ivf.cluster_order_index) — halves serving HBM vs
+        flat + IVF side by side, which is what makes probe-served 10M
+        int8 corpora fit one chip.  Builds the IVF first if absent
+        (``build_kwargs`` forwarded to :meth:`build_ivf`).  The returned
+        engine routes/queries identically; traversal runs unwindowed
+        (docs are fragmented in cluster order)."""
+        from ..index.ivf import cluster_order_index
+
+        if self.ivf is None:
+            self.build_ivf(**build_kwargs)
+        new_idx, new_meta, new_ivf = cluster_order_index(
+            self.index, self.meta, self.ivf
+        )
+        return QueryEngine(new_idx, new_meta, ivf=new_ivf)
+
     # -- routing ---------------------------------------------------------
     def routed_docs(
         self,
