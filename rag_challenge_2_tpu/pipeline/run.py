@@ -66,6 +66,11 @@ class RunConfig:
                                      # PartialReduce at this recall target
                                      # instead of the exact sort (10M-scale
                                      # configs; bench.py measures the cost)
+    cluster_order: bool = False     # with use_ivf: rearrange the corpus into
+                                    # IVF list order at load — ONE row store
+                                    # serves probes + flat paths (halves
+                                    # serving HBM; index/ivf
+                                    # .cluster_order_index)
 
 
 class Pipeline:
@@ -254,6 +259,10 @@ class Pipeline:
                 engine.ivf = ivf
             else:
                 save_ivf(ivf_path, engine.build_ivf(), fingerprint=fp)
+            if rc.cluster_order:
+                # probe-served layout: the flat store is dropped after the
+                # permute — the IVF's list-ordered buffer is the corpus
+                engine = engine.cluster_order()
         return QuestionsProcessor(
             engine,
             self.query_embedder,

@@ -127,6 +127,16 @@ def test_pipeline_with_ivf(data_root, rng, monkeypatch):
     assert load_ivf(Path(str(p.paths.index_path) + ".ivf.npz"), "bogus") is None
     assert load_ivf(Path(str(p.paths.index_path) + ".ivf.npz"), fp) is not None
 
+    # cluster_order: the processor serves from the IVF's list-ordered
+    # buffer (one store for probes + flat paths) and still answers
+    p.run_config.cluster_order = True
+    proc3 = p.build_processor()
+    assert proc3.engine.index.emb is proc3.engine.ivf.emb_perm
+    # window is recomputed over the PERMUTED layout (0 when docs fragment;
+    # a tiny corpus may keep them contiguous — either is valid)
+    out3 = proc3.get_answer_for_company("金盘科技", "2024年营业收入", "number")
+    assert out3["final_answer"] == 68.9
+
 
 def test_auto_pretrain_on_first_index_build(data_root, rng, monkeypatch):
     """With no embedder injected and no saved params, the index build
