@@ -162,9 +162,15 @@ def search_device(
         matrix or ``[M, Q, W]`` stacked copy is ever materialized.
         Measured on v5e (_exp variants, 3-of-6 slots valid): 10M int8
         17.6→10.2 ms/call, 1.5M f32 11.4→6.6 ms/call vs the shared
-        full-scan + slice-stack formulation this replaces."""
+        full-scan + slice-stack formulation this replaces.
+
+        Read-amplification gate: ``window`` is the LONGEST doc's padded
+        length, so on heavily ragged corpora (one huge doc + tiny docs)
+        M·window can exceed N — there the shared full scan below reads
+        less even with no slots skipped; per-slot applies only while
+        M·window stays within 2× the corpus."""
         k = min(k, N)
-        if use_window and window >= k:
+        if use_window and window >= k and M * window <= 2 * N:
             from ..ops.quant import int8_scores
             from ..ops.topk import large_topk_from_scores
 

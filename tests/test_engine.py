@@ -412,3 +412,38 @@ def test_cluster_ordered_int8_store(engine, rng):
                        use_ivf=True, ivf_nprobe=4)
     res = co.materialize(co.search(q, "金盘科技", cfg=cfg), cfg)
     assert res and res[0]["text"].endswith("chunk5"), res[0]
+
+
+def test_ragged_corpus_gates_windowed_pair_topk(rng):
+    """One huge doc + tiny docs: M*window > 2N, so pair_topk must take the
+    shared full-scan fallback — results identical to a windowed corpus of
+    the same content (the gate is a perf decision, not a semantic one)."""
+    from rag_challenge_2_tpu.index import build_corpus_index
+    from tests.conftest import make_reports
+
+    reports, embs = [], []
+    # doc 0: 300 pages (huge); docs 1-2: 1 page each -> window ~= doc0 len
+    # (900 chunks -> 896+128 padded window), N_pad = 1024, so
+    # M*window = 3*896 > 2*1024 trips the gate
+    for d, n_pages in enumerate((300, 1, 1)):
+        r, e = make_reports(
+            np.random.default_rng(d), n_docs=1, companies=("金盘科技",),
+            years=(2022 + d,), pages_per_doc=n_pages)
+        r[0]["metainfo"]["sha1_name"] = f"J{2022+d}_doc{d}"
+        reports.append(r[0])
+        embs.append(e[0])
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=16)
+    eng = QueryEngine(idx, meta)
+    assert eng.window > 0
+    assert 3 * eng.window > 2 * idx.n_pad, "fixture must trip the gate"
+    q = _q_for(embs, 0, 17, rng)
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10, max_docs=3)
+    res_w = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    saved = eng.window
+    try:
+        eng.window = 0
+        res_f = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    finally:
+        eng.window = saved
+    assert [r["rep_row"] for r in res_w] == [r["rep_row"] for r in res_f]
+    assert res_w[0]["rep_row"] == 17
