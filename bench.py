@@ -212,6 +212,7 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
         df=jnp.asarray(counts, jnp.float32),
         chunk_len=jnp.full((N,), 300.0, jnp.float32),
         avgdl=jnp.float32(300.0),
+        dl=jnp.full((nnz_pad,), 300.0, jnp.float32),
         vocab_bits=V_BITS,
         max_postings=W,
         dma_pad=nnz_pad - nnz,
@@ -402,6 +403,7 @@ def bench_int8_10m(extras, N=10_000_000, D=1024, C=500_000):
         df=jnp.asarray(counts, jnp.float32),
         chunk_len=jnp.full((N,), 300.0, jnp.float32),
         avgdl=jnp.float32(300.0),
+        dl=jnp.full((nnz_pad,), 300.0, jnp.float32),
         vocab_bits=V_BITS, max_postings=W, dma_pad=nnz_pad - nnz,
     )
     rows = jnp.arange(N, dtype=jnp.int32)
@@ -596,6 +598,7 @@ def bench_ivf_10m(extras, N=10_000_000, D=1024, C=500_000, N_CENTERS=4096):
         df=jnp.asarray(counts, jnp.float32),
         chunk_len=jnp.full((N,), 300.0, jnp.float32),
         avgdl=jnp.float32(300.0),
+        dl=jnp.full((nnz_pad,), 300.0, jnp.float32),
         vocab_bits=V_BITS, max_postings=W_P, dma_pad=nnz_pad - nnz,
     )
     rows = jnp.arange(N, dtype=jnp.int32)

@@ -183,6 +183,9 @@ def _build_sparse(
     tf[:nnz] = tf_u
 
     avgdl = float(chunk_len[:n].mean()) if n else 1.0
+    # per-posting doc length (schema.SparseIndex.dl): one vectorized take
+    # at build replaces a per-query random [N] gather at serve time
+    dl = chunk_len[np.clip(chunk_ids, 0, n_pad - 1)].astype(np.float32)
     return SparseIndex(
         indptr=jnp.asarray(indptr, jnp.int32),
         chunk_ids=jnp.asarray(chunk_ids),
@@ -190,6 +193,7 @@ def _build_sparse(
         df=jnp.asarray(df),
         chunk_len=jnp.asarray(chunk_len),
         avgdl=jnp.float32(avgdl),
+        dl=jnp.asarray(dl),
         vocab_bits=vocab_bits,
         max_postings=max_post,
         dma_pad=nnz_pad - nnz,

@@ -56,6 +56,13 @@ class SparseIndex:
     df: jax.Array          # f32 [V]
     chunk_len: jax.Array   # f32 [N_pad]
     avgdl: jax.Array       # f32 scalar
+    # per-POSTING doc length (chunk_len[chunk_ids], precomputed at build):
+    # lets the scoring kernel read lengths as contiguous spans beside tf
+    # instead of a random [N] gather per posting — that gather alone
+    # measured 1.74 ms/call at nnz=67M, N=10M on v5e.  Optional for
+    # back-compat with indexes persisted before it existed (runtime falls
+    # back to the gather).
+    dl: Optional[jax.Array] = None  # f32 [NNZ_pad]
     vocab_bits: int = dataclasses.field(metadata=dict(static=True), default=20)
     max_postings: int = dataclasses.field(metadata=dict(static=True), default=0)
     # slack beyond indptr[-1] in chunk_ids/tf: when ≥ the gather window, the
@@ -89,6 +96,9 @@ class ShardedSparseIndex:
     df: jax.Array          # f32 [V]       (global, replicated)
     chunk_len: jax.Array   # f32 [N_pad]   (global, replicated)
     avgdl: jax.Array       # f32 scalar
+    # per-posting doc length beside tf (see SparseIndex.dl) — shard-local,
+    # so the length read stays on the shard's device
+    dl: Optional[jax.Array] = None  # f32 [S, L]
     vocab_bits: int = dataclasses.field(metadata=dict(static=True), default=20)
     max_postings: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_shards: int = dataclasses.field(metadata=dict(static=True), default=1)

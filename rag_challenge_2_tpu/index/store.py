@@ -191,13 +191,19 @@ def load_index(path: Path, device_put: bool = True) -> Tuple[CorpusIndex, Option
         )
     sparse = None
     if statics.get("has_sparse"):
+        # per-posting doc lengths are derived, not persisted (schema.dl):
+        # one host-side take keeps the file format unchanged
+        cids = np.asarray(z["sp_chunk_ids"])
+        clen = np.asarray(z["sp_chunk_len"])
+        dl = clen[np.clip(cids, 0, len(clen) - 1)].astype(np.float32)
         sparse = SparseIndex(
             indptr=jnp.asarray(z["sp_indptr"]),
-            chunk_ids=jnp.asarray(z["sp_chunk_ids"]),
+            chunk_ids=jnp.asarray(cids),
             tf=jnp.asarray(z["sp_tf"]),
             df=jnp.asarray(z["sp_df"]),
-            chunk_len=jnp.asarray(z["sp_chunk_len"]),
+            chunk_len=jnp.asarray(clen),
             avgdl=jnp.asarray(z["sp_avgdl"]),
+            dl=jnp.asarray(dl),
             vocab_bits=statics["sp_vocab_bits"],
             max_postings=statics["sp_max_postings"],
             # recomputed (not persisted): slack beyond the live postings

@@ -38,13 +38,13 @@ from .topk import NEG_INF
 
 @functools.partial(jax.jit, static_argnames=("window", "n_rows", "k1", "b", "use_pallas"))
 def _bm25_scores_impl(
-    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *, window, n_rows, k1, b,
-    use_pallas=False,
+    indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, dl=None, *,
+    window, n_rows, k1, b, use_pallas=False,
 ):
     B, T = query_terms.shape
     rows, contrib = _gather_contributions(
         indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms,
-        window=window, k1=k1, b=b, use_pallas=use_pallas,
+        window=window, k1=k1, b=b, use_pallas=use_pallas, dl=dl,
     )
     rows_flat = rows.reshape(B, T * window)
     contrib_flat = contrib.reshape(B, T * window)
@@ -86,6 +86,7 @@ def bm25_scores(
         sparse.chunk_len,
         sparse.avgdl,
         query_terms,
+        sparse.dl,
         window=W,
         n_rows=n_rows,
         k1=k1,
@@ -124,14 +125,17 @@ def _pick_pallas(impl: str, sparse: SparseIndex, window: int) -> bool:
 
 def _gather_contributions(
     indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, *,
-    window, k1, b, use_pallas: bool = False,
+    window, k1, b, use_pallas: bool = False, dl=None,
 ):
     """Per-(term, posting) BM25 contributions.  Returns (rows, contrib)
     of shape [B, T, W] — the shared front half of both scoring kernels.
 
     ``use_pallas`` switches the span gather to the contiguous-DMA kernel
     (ops/pallas_bm25.py); requires ``SparseIndex.dma_pad ≥ window`` so a
-    span never reads past the buffer (the caller checks)."""
+    span never reads past the buffer (the caller checks).  ``dl`` is the
+    optional per-POSTING doc-length array (SparseIndex.dl): doc lengths
+    then ride the same span gather instead of a random ``chunk_len[rows]``
+    gather (1.74 ms/call at nnz=67M, N=10M on v5e)."""
     B, T = query_terms.shape
     terms = jnp.maximum(query_terms, 0)
     starts = indptr[terms]                      # [B, T]
@@ -144,24 +148,27 @@ def _gather_contributions(
     if use_pallas:
         from .pallas_bm25 import gather_posting_spans
 
-        ids_g, tf_g = gather_posting_spans(
-            chunk_ids, tf, starts.reshape(-1), window=window
+        out = gather_posting_spans(
+            chunk_ids, tf, starts.reshape(-1), window=window, dl=dl
         )
-        rows = ids_g.reshape(B, T, window)
-        tfv = tf_g.reshape(B, T, window)
+        rows = out[0].reshape(B, T, window)
+        tfv = out[1].reshape(B, T, window)
+        dlv = out[2].reshape(B, T, window) if dl is not None else None
     else:
         pos = starts[..., None] + offs          # [B, T, W]
         pos = jnp.clip(pos, 0, chunk_ids.shape[0] - 1)
         rows = chunk_ids[pos]                   # [B, T, W]
         tfv = tf[pos]                           # [B, T, W]
+        dlv = dl[pos] if dl is not None else None
 
     n_corpus = jnp.maximum(jnp.sum(chunk_len > 0).astype(jnp.float32), 1.0)
     dfv = df[terms]                             # [B, T]
     idf = jnp.log1p((n_corpus - dfv + 0.5) / (dfv + 0.5))
     idf = jnp.where(query_terms >= 0, idf, 0.0)
 
-    dl = chunk_len[rows]
-    denom = tfv + k1 * (1.0 - b + b * dl / avgdl)
+    if dlv is None:
+        dlv = chunk_len[rows]
+    denom = tfv + k1 * (1.0 - b + b * dlv / avgdl)
     contrib = idf[..., None] * tfv * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
     contrib = jnp.where(in_window, contrib, 0.0)
     return rows, contrib
@@ -170,12 +177,13 @@ def _gather_contributions(
 @functools.partial(jax.jit, static_argnames=("window", "k", "k1", "b", "use_pallas"))
 def _bm25_topk_impl(
     indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, doc_masks,
-    row_slot, *, window, k, k1, b, use_pallas=False
+    row_slot, win_start=None, win_len=None, dl=None, *, window, k, k1, b,
+    use_pallas=False
 ):
     B, T = query_terms.shape
     rows, contrib = _gather_contributions(
         indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms,
-        window=window, k1=k1, b=b, use_pallas=use_pallas,
+        window=window, k1=k1, b=b, use_pallas=use_pallas, dl=dl,
     )
     L = T * window
     r_flat = rows.reshape(B, L)
@@ -199,13 +207,27 @@ def _bm25_topk_impl(
     M = doc_masks.shape[0]
     safe = jnp.clip(r_s, 0, doc_masks.shape[1] - 1)
 
-    if row_slot is not None:
+    if row_slot is not None or win_start is not None:
         # ONE sort by (slot, -score) instead of M top_k passes (each a full
         # [B, L] sort): candidates land slot-major best-first, rank within
-        # slot comes from a cummax of segment starts, and a tiny scatter
-        # into [B, M*k] lays out the per-doc top-k.  Requires disjoint doc
-        # masks (slot per row), which routing guarantees.
-        slot = jnp.where(scores > NEG_INF / 2, row_slot[safe], M)
+        # slot comes from a cummax of segment starts, and a second tiny
+        # sort lays out the per-doc top-k.  Requires disjoint doc masks
+        # (slot per row), which routing guarantees.
+        if win_start is not None:
+            # contiguous-range corpora (index/build layout): the slot is
+            # ARITHMETIC in the row id — a [B, L, M] compare instead of a
+            # random gather from the [N] row_slot table (the gather alone
+            # measured 1.75 ms/call at N=10M, B·T·W=131k on v5e; the
+            # compares are vector ops that fuse away)
+            in_m = (r_s[:, :, None] >= win_start[None, None, :]) & (
+                r_s[:, :, None] < (win_start + win_len)[None, None, :]
+            )
+            slot_of_row = jnp.where(
+                in_m.any(-1), jnp.argmax(in_m, -1).astype(jnp.int32), M
+            )
+        else:
+            slot_of_row = row_slot[safe]
+        slot = jnp.where(scores > NEG_INF / 2, slot_of_row, M)
         sl, negs, rr = jax.lax.sort((slot, -scores, r_s), num_keys=2)
         pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
         new_slot = jnp.concatenate(
@@ -215,10 +237,16 @@ def _bm25_topk_impl(
         rank = pos - seg_start
         keep = (sl < M) & (rank < k)
         p = jnp.where(keep, sl * k + rank, M * k)
+        # compact kept elements to the front in p order (kept p are unique,
+        # ≤ M*k of them), then scatter only the [B, M*k] head — two full
+        # [B, L]-update scatters here measured 1.26 ms/call at L=32k on
+        # v5e vs ~0.25 ms for the extra sort (TPU scatters serialize)
+        p_c, negs_c, rr_c = jax.lax.sort((p, negs, rr), num_keys=1)
+        p_h, v_h, r_h = p_c[:, : M * k], -negs_c[:, : M * k], rr_c[:, : M * k]
         out_v = jnp.zeros((B, M * k + 1), jnp.float32)
         out_r = jnp.full((B, M * k + 1), -1, jnp.int32)
-        out_v = jax.vmap(lambda o, i, v: o.at[i].set(v))(out_v, p, -negs)
-        out_r = jax.vmap(lambda o, i, v: o.at[i].set(v))(out_r, p, rr)
+        out_v = jax.vmap(lambda o, i, v: o.at[i].set(v))(out_v, p_h, v_h)
+        out_r = jax.vmap(lambda o, i, v: o.at[i].set(v))(out_r, p_h, r_h)
         bv = out_v[:, : M * k].reshape(B, M, k).transpose(1, 0, 2)
         br = out_r[:, : M * k].reshape(B, M, k).transpose(1, 0, 2)
         valid = br >= 0
@@ -243,6 +271,8 @@ def bm25_topk(
     k: int,
     *,
     row_slot: Optional[jax.Array] = None,
+    win_start: Optional[jax.Array] = None,
+    win_len: Optional[jax.Array] = None,
     k1: float = 1.5,
     b: float = 0.75,
     window: Optional[int] = None,
@@ -275,6 +305,11 @@ def bm25_topk(
             row belongs to, M for unrouted rows.  Supplying it replaces the
             M per-doc top_k sorts with ONE (slot, -score) sort — measured
             ~3× faster on the per-doc stage at L = 32k.
+        win_start / win_len: optional [M] i32 — per-slot contiguous row
+            ranges (the index/build layout).  Same CONTRACT as row_slot
+            (must exactly partition the routed rows), but the slot comes
+            from range compares instead of a random [N] gather — ~1.75 ms
+            cheaper per call at N=10M.  Takes precedence over row_slot.
 
     Returns:
         ``(scores [M, B, k] f32 — 0 where invalid, rows [M, B, k] i32 — -1
@@ -283,7 +318,9 @@ def bm25_topk(
     W = int(window or max(sparse.max_postings, 1))
     return _bm25_topk_impl(
         sparse.indptr, sparse.chunk_ids, sparse.tf, sparse.df,
-        sparse.chunk_len, sparse.avgdl, query_terms, doc_masks, row_slot,
+        sparse.chunk_len, sparse.avgdl, query_terms, doc_masks,
+        None if win_start is not None else row_slot, win_start, win_len,
+        sparse.dl,
         window=W, k=k, k1=k1, b=b,
         use_pallas=_pick_pallas(impl, sparse, W),
     )

@@ -58,38 +58,34 @@ def _extract_window(scr, row0, off, w_rows):
     return jnp.where(lane < _LANES - o_l, b[:w_rows, :], b[1:, :])
 
 
-def _make_kernel(r_rows: int, w_rows: int):
+def _make_kernel(r_rows: int, w_rows: int, n_arrays: int):
     P = _SPANS_PER_PROGRAM
 
-    def kernel(rows_ref, offs_ref, ids_hbm, tf_hbm, out_ids, out_tf,
-               scr_ids, scr_tf, sems):
+    def kernel(rows_ref, offs_ref, *refs):
+        hbm = refs[:n_arrays]
+        outs = refs[n_arrays : 2 * n_arrays]
+        scr = refs[2 * n_arrays : 3 * n_arrays]
+        sems = refs[3 * n_arrays]
         base = pl.program_id(0) * P
         dmas = []
-        for j in range(P):  # static unroll; all 2P copies in flight at once
+        for j in range(P):  # static unroll; all n·P copies in flight at once
             rb = pl.multiple_of(rows_ref[base + j], P)
-            d_ids = pltpu.make_async_copy(
-                ids_hbm.at[pl.ds(rb, r_rows), :],
-                scr_ids.at[pl.ds(j * r_rows, r_rows), :],
-                sems.at[j],
-            )
-            d_tf = pltpu.make_async_copy(
-                tf_hbm.at[pl.ds(rb, r_rows), :],
-                scr_tf.at[pl.ds(j * r_rows, r_rows), :],
-                sems.at[P + j],
-            )
-            d_ids.start()
-            d_tf.start()
-            dmas += [d_ids, d_tf]
+            for a in range(n_arrays):
+                d = pltpu.make_async_copy(
+                    hbm[a].at[pl.ds(rb, r_rows), :],
+                    scr[a].at[pl.ds(j * r_rows, r_rows), :],
+                    sems.at[a * P + j],
+                )
+                d.start()
+                dmas.append(d)
         for d in dmas:
             d.wait()
         for j in range(P):  # in-VMEM unaligned window extraction
             off = offs_ref[base + j]
-            out_ids[pl.ds(j * w_rows, w_rows), :] = _extract_window(
-                scr_ids, j * r_rows, off, w_rows
-            )
-            out_tf[pl.ds(j * w_rows, w_rows), :] = _extract_window(
-                scr_tf, j * r_rows, off, w_rows
-            )
+            for a in range(n_arrays):
+                outs[a][pl.ds(j * w_rows, w_rows), :] = _extract_window(
+                    scr[a], j * r_rows, off, w_rows
+                )
 
     return kernel
 
@@ -101,8 +97,9 @@ def gather_posting_spans(
     starts: jax.Array,
     *,
     window: int,
+    dl: jax.Array | None = None,
     interpret: bool | None = None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, ...]:
     """Copy ``window``-wide posting spans for every start offset.
 
     Args:
@@ -110,9 +107,12 @@ def gather_posting_spans(
             ≥ indptr[-1] + ``dma_slack(window)``.
         tf: f32 [NNZ_pad] matching term frequencies.
         starts: i32 [G] span offsets (one per (query, term)).
+        dl: optional f32 [NNZ_pad] per-posting doc lengths (SparseIndex.dl)
+            — gathered as a third span, saving the runtime
+            ``chunk_len[rows]`` random gather (1.74 ms/call at nnz=67M).
 
     Returns:
-        ``(ids [G, window] i32, tf [G, window] f32)``.
+        ``(ids [G, window] i32, tf [G, window] f32[, dl [G, window] f32])``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -129,38 +129,31 @@ def gather_posting_spans(
     Gp = G + g_pad
     base_rows = (starts_p // ALIGN) * (ALIGN // _LANES)  # ÷8 by construction
     offs = starts_p % ALIGN
-    ids2 = chunk_ids.reshape(-1, _LANES)
-    tf2 = tf.reshape(-1, _LANES)
+    arrays = [chunk_ids, tf] + ([dl] if dl is not None else [])
+    dtypes = [jnp.int32, jnp.float32, jnp.float32][: len(arrays)]
+    flats = [a.reshape(-1, _LANES) for a in arrays]
+    n = len(arrays)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # base rows + in-span offsets
         grid=(Gp // P,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # CSR stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,  # CSR stays in HBM
         out_specs=[
-            pl.BlockSpec((P * w_rows, _LANES), lambda i, rows, offs: (i, 0)),
-            pl.BlockSpec((P * w_rows, _LANES), lambda i, rows, offs: (i, 0)),
-        ],
+            pl.BlockSpec((P * w_rows, _LANES), lambda i, rows, offs: (i, 0))
+        ] * n,
         scratch_shapes=[
-            pltpu.VMEM((P * r_rows, _LANES), jnp.int32),
-            pltpu.VMEM((P * r_rows, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * P,)),
-        ],
+            pltpu.VMEM((P * r_rows, _LANES), dt) for dt in dtypes
+        ] + [pltpu.SemaphoreType.DMA((n * P,))],
     )
-    out_ids, out_tf = pl.pallas_call(
-        _make_kernel(r_rows, w_rows),
+    outs = pl.pallas_call(
+        _make_kernel(r_rows, w_rows, n),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Gp * w_rows, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((Gp * w_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Gp * w_rows, _LANES), dt) for dt in dtypes
         ],
         interpret=interpret,
-    )(base_rows, offs, ids2, tf2)
+    )(base_rows, offs, *flats)
 
     # [Gp*w_rows, 128] rows are already each span's flat window — a
     # layout-preserving reshape, then trim the lane padding
-    out_ids = out_ids.reshape(Gp, w_eff)[:G, :window]
-    out_tf = out_tf.reshape(Gp, w_eff)[:G, :window]
-    return out_ids, out_tf
+    return tuple(o.reshape(Gp, w_eff)[:G, :window] for o in outs)

@@ -70,10 +70,13 @@ def shard_sparse_index(
     sip = np.zeros((n_shards, V + 1), np.int32)
     sid = np.zeros((n_shards, L), np.int32)
     stf = np.zeros((n_shards, L), np.float32)
+    sdl = np.zeros((n_shards, L), np.float32)
+    clen = np.asarray(sparse.chunk_len)
     for s, (ip, i_s, t_s) in enumerate(parts):
         sip[s] = ip
         sid[s, : len(i_s)] = i_s
         stf[s, : len(t_s)] = t_s
+        sdl[s, : len(i_s)] = clen[i_s]
 
     put_sharded = put_rep = jnp.asarray
     if mesh is not None:
@@ -95,6 +98,7 @@ def shard_sparse_index(
         df=put_rep(sparse.df),
         chunk_len=put_rep(sparse.chunk_len),
         avgdl=jnp.asarray(sparse.avgdl),
+        dl=put_sharded(sdl),
         vocab_bits=sparse.vocab_bits,
         max_postings=max_post,
         n_shards=n_shards,
@@ -104,7 +108,7 @@ def shard_sparse_index(
 @functools.partial(jax.jit, static_argnames=("k", "window", "k1", "b"))
 def _sharded_bm25_topk_impl(
     indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, doc_masks,
-    row_slot, *, k, window, k1, b
+    row_slot, dl, *, k, window, k1, b
 ):
     from ..ops.bm25 import _bm25_topk_impl
 
@@ -116,9 +120,11 @@ def _sharded_bm25_topk_impl(
     # per-shard nnz is 1/S of the corpus — the gather domain shrinks with
     # the shard, which is the point)
     sv, sr, sok = jax.vmap(
-        local, in_axes=(0, 0, 0, None, None, None, None, None, None)
+        local,
+        in_axes=(0, 0, 0, None, None, None, None, None, None, None, None,
+                 None if dl is None else 0),
     )(indptr, chunk_ids, tf, df, chunk_len, avgdl, query_terms, doc_masks,
-      row_slot)                                        # [S, M, B, k] each
+      row_slot, None, None, dl)                        # [S, M, B, k] each
 
     S, M, B, K = sv.shape
     v = jnp.moveaxis(sv, 0, 2).reshape(M, B, S * K)
@@ -161,5 +167,5 @@ def sharded_bm25_topk(
     return _sharded_bm25_topk_impl(
         sparse.indptr, sparse.chunk_ids, sparse.tf, sparse.df,
         sparse.chunk_len, sparse.avgdl, query_terms, doc_masks, row_slot,
-        k=k, window=W, k1=k1, b=b,
+        sparse.dl, k=k, window=W, k1=k1, b=b,
     )

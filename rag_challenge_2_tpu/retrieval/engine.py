@@ -349,22 +349,29 @@ def search_device(
             )
         else:
             bv_mqk, brows_mqk, ok_mqk = bm25_topk(
-                index.sparse, q_terms, doc_masks, k_bm, row_slot=row_slot
+                index.sparse, q_terms, doc_masks, k_bm, row_slot=row_slot,
+                # contiguous-range corpora: arithmetic slot instead of the
+                # [N] row_slot gather (ops/bm25.py win_start doc)
+                win_start=win_start if use_window else None,
+                win_len=win_len if use_window else None,
             )
         # [M, Q, k] → [Q*M, k] with row index q*M + m (matches qid_pair)
         bv = bv_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm)
         brows = brows_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm).astype(jnp.int32)
         ok_b = ok_mqk.transpose(1, 0, 2).reshape(Q * M, k_bm)
         # invalid query/doc slots are excluded here (bm25_topk masks by doc
-        # rows only; padded queries have all -1 terms → zero scores → ~ok)
-        ok_b = ok_b & q_valid[jnp.repeat(jnp.arange(Q), M)][:, None] \
-                    & doc_valid[jnp.tile(jnp.arange(M), Q)][:, None]
+        # rows only; padded queries have all -1 terms → zero scores → ~ok).
+        # repeat/tile, NOT fancy indexing — static-pattern gathers lower to
+        # real TPU gather ops with ~1 ms fixed cost each (measured in the
+        # 10M hybrid trace); repeat/tile lower to broadcasts
+        ok_b = ok_b & jnp.repeat(q_valid, M)[:, None] \
+                    & jnp.tile(doc_valid, Q)[:, None]
         # normalize per QUERY (max over all of the query's doc slots), not
         # per (query, doc) pair — a per-pair max inflates every routed
         # document's best lexical hit to exactly 1.0 regardless of its
         # absolute relevance, destroying cross-document BM25 ordering
         per_q = jnp.max(jnp.where(ok_b, bv, 0.0).reshape(Q, M * k_bm), axis=1)
-        norm = jnp.maximum(per_q, 1e-9)[jnp.repeat(jnp.arange(Q), M)][:, None]
+        norm = jnp.repeat(jnp.maximum(per_q, 1e-9), M)[:, None]
         sims_b = jnp.where(ok_b, bv / norm, 0.0)
         qids_b = jnp.broadcast_to(qid_pair[:, None], brows.shape)
         mids_b = jnp.full(brows.shape, METHOD_IDS["bm25"], jnp.int32)

@@ -153,14 +153,23 @@ def test_bm25_topk_matches_dense_scores(tiny_corpus, rng):
     for i in range(3):
         slot[np.asarray(doc_masks[i])] = i
     k = 5
-    for rs in (None, jnp.asarray(slot)):
-        _check_topk(idx, meta, qt, queries, dense, doc_id, valid, doc_masks, k, rs)
+    # per-doc contiguous ranges (index/build layout) for the win_start path
+    ws = np.array([int(np.argmax(np.asarray(doc_masks[i]))) for i in range(3)], np.int32)
+    wl = np.array([int(np.asarray(doc_masks[i]).sum()) for i in range(3)], np.int32)
+    for rs, win in ((None, None), (jnp.asarray(slot), None),
+                    (None, (jnp.asarray(ws), jnp.asarray(wl)))):
+        _check_topk(idx, meta, qt, queries, dense, doc_id, valid, doc_masks,
+                    k, rs, win)
 
 
-def _check_topk(idx, meta, qt, queries, dense, doc_id, valid, doc_masks, k, row_slot):
+def _check_topk(idx, meta, qt, queries, dense, doc_id, valid, doc_masks, k,
+                row_slot, win=None):
     from rag_challenge_2_tpu.ops.bm25 import bm25_topk
 
-    bv, br, ok = map(np.asarray, bm25_topk(idx.sparse, qt, doc_masks, k, row_slot=row_slot))
+    ws, wl = win if win is not None else (None, None)
+    bv, br, ok = map(np.asarray, bm25_topk(
+        idx.sparse, qt, doc_masks, k, row_slot=row_slot,
+        win_start=ws, win_len=wl))
     for m in range(3):
         for qi in range(len(queries)):
             ref = dense[qi].copy()
