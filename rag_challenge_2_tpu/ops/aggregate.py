@@ -67,6 +67,15 @@ def fuse_hits(
     """Aggregate flat hit lists into bonus-scored, deduped top-n candidates.
 
     All inputs are ``[L]`` flat arrays (L = queries × methods × k, static).
+
+    Formulation note: everything is sorts + per-position scans.  A previous
+    version compacted per-key values with ``segment_sum``/``segment_max``
+    (TPU scatters) and selected the top-n with ``top_k`` + per-field
+    gathers; the scatters/gathers carry ~0.2–1 ms fixed cost each on TPU
+    (profiled in the 10M hybrid graph), so per-key reductions now ride the
+    sorted order (cumsum-difference for counts, a segmented max scan for
+    the base similarity) and the top-n selection is one multi-operand sort
+    that carries every output field.
     """
     L = key.shape[0]
     key_s = jnp.where(valid, key, _BIG)
@@ -78,44 +87,66 @@ def fuse_hits(
         (key_s, qid, sim, row), num_keys=2
     )
     new_key = _first_occurrence(ck)
-    seg = jnp.cumsum(new_key.astype(jnp.int32)) - 1          # contiguous unique-key ids
     new_pair = new_key | _first_occurrence(cq)
-    nq = jax.ops.segment_sum(new_pair.astype(jnp.int32), seg, num_segments=L)
+    # distinct (key, qid) pairs inside each segment: cumsum difference —
+    # the running pair count minus its value just before the segment
+    # started (propagated by cummax over the nondecreasing cumsum)
+    pair_cum = jnp.cumsum(new_pair.astype(jnp.int32))
+    pair_base = jax.lax.cummax(
+        jnp.where(new_key, pair_cum - new_pair.astype(jnp.int32), 0)
+    )
+    nq = pair_cum - pair_base                    # per-position; valid at seg last
 
-    # base similarity (max) per key + representative row
+    # segmented max of sim (+ the row achieving it): one associative scan
+    # with the standard segmented-max operator — flags reset at key starts
     sim_masked = jnp.where(ck < _BIG, sim_s, NEG_INF)
-    base = jax.ops.segment_max(sim_masked, seg, num_segments=L)
-    is_best = sim_masked >= base[seg]
-    rep = jax.ops.segment_max(jnp.where(is_best, row_s, -1), seg, num_segments=L)
 
-    # unique-key values in segment order
-    ukey = jax.ops.segment_max(jnp.where(new_key, ck, -1), seg, num_segments=L)
+    def _seg_max(a, b):
+        f1, v1, r1 = a
+        f2, v2, r2 = b
+        v = jnp.where(f2, v2, jnp.maximum(v1, v2))
+        # ties keep the larger row id (matches the old segment_max(rep))
+        r = jnp.where(
+            f2, r2,
+            jnp.where(v1 > v2, r1, jnp.where(v2 > v1, r2, jnp.maximum(r1, r2))),
+        )
+        return f1 | f2, v, r
+
+    _, base, rep = jax.lax.associative_scan(
+        _seg_max, (new_key, sim_masked, row_s)
+    )
 
     # ---- lexicographic sort by (key, mid): count distinct methods per key ----
+    # ck_m equals ck elementwise (same key multiset), so per-position
+    # values align with the first sort's segments
     ck_m, cm = jax.lax.sort((key_s, mid), num_keys=2)
-    new_key_m = _first_occurrence(ck_m)
-    seg_m = jnp.cumsum(new_key_m.astype(jnp.int32)) - 1
-    nm = jax.ops.segment_sum(
-        (new_key_m | _first_occurrence(cm)).astype(jnp.int32), seg_m, num_segments=L
-    )  # same unique-key order as seg (both ascending in key)
+    new_pm = new_key | _first_occurrence(cm)
+    pm_cum = jnp.cumsum(new_pm.astype(jnp.int32))
+    pm_base = jax.lax.cummax(
+        jnp.where(new_key, pm_cum - new_pm.astype(jnp.int32), 0)
+    )
+    nm = pm_cum - pm_base
 
-    n_unique = jnp.sum(new_key.astype(jnp.int32))
-    slot = jnp.arange(L, dtype=jnp.int32)
-    live = (slot < n_unique) & (ukey < _BIG)
+    # per-key values live at segment-LAST positions
+    last = jnp.concatenate([ck[1:] != ck[:-1], jnp.ones((1,), bool)])
+    live = last & (ck < _BIG)
 
     qb = 1.0 + QUERY_BONUS * jnp.maximum(nq - 1, 0).astype(jnp.float32)
     mb = 1.0 + METHOD_BONUS * jnp.maximum(nm - 1, 0).astype(jnp.float32)
     final = jnp.where(live, base * qb * mb, NEG_INF)
 
+    # ---- top-n: one descending sort carrying every output field ----
     k = min(top_n, L)
-    top_scores, top_slots = jax.lax.top_k(final, k)
-    sel = lambda a: a[top_slots]
+    neg, ukey_o, base_o, nq_o, nm_o, rep_o = jax.lax.sort(
+        (-final, ck, base, nq, nm, rep), num_keys=1
+    )
+    top_scores = -neg[:k]
     empty = top_scores <= NEG_INF / 2
     return FusedCandidates(
-        key=jnp.where(empty, -1, sel(ukey)),
+        key=jnp.where(empty, -1, ukey_o[:k]),
         score=jnp.where(empty, 0.0, top_scores),
-        base_sim=jnp.where(empty, 0.0, sel(base)),
-        n_queries=jnp.where(empty, 0, sel(nq)),
-        n_methods=jnp.where(empty, 0, sel(nm)),
-        rep_row=jnp.where(empty, -1, sel(rep)),
+        base_sim=jnp.where(empty, 0.0, base_o[:k]),
+        n_queries=jnp.where(empty, 0, nq_o[:k]),
+        n_methods=jnp.where(empty, 0, nm_o[:k]),
+        rep_row=jnp.where(empty, -1, rep_o[:k]),
     )
