@@ -480,6 +480,34 @@ def bench_int8_10m(extras, N=10_000_000, D=1024, C=500_000):
         f"{extras['hybrid_10m_int8_approx_qps']} qps, "
         f"top-n overlap vs exact = {overlap:.4f}")
 
+    # SERVING throughput: two dispatch threads (a server handling
+    # concurrent questions) — the host-side dispatch/relay round trip
+    # (~1.8 ms/call here) overlaps with device execution, exposing the
+    # graph's device-time ceiling.  The TPU still executes one program at
+    # a time; this changes nothing on device.
+    import threading
+
+    def dispatch_half(out_box, i):
+        o = None
+        for r in range(i, reps, 2):
+            o = one_call_rt(q_batches[r])
+        out_box[i] = o[0].score
+
+    def window_conc():
+        box = {}
+        t = threading.Thread(target=dispatch_half, args=(box, 1))
+        t.start()
+        dispatch_half(box, 0)
+        t.join()
+        sync(box[0])
+        sync(box[1])
+        return box[0]
+
+    extras["hybrid_10m_int8_serving_qps"] = round(
+        best_qps(lambda: window_conc(), Q_BATCH * reps, reps=1), 1)
+    log(f"hybrid 10m int8 serving (2 dispatch threads, scan_rt=0.95): "
+        f"{extras['hybrid_10m_int8_serving_qps']} qps")
+
 
 NEG_INF_F = -3.0e38
 
