@@ -659,6 +659,9 @@ def bench_ivf_10m(extras, N=10_000_000, D=1024, C=500_000, N_CENTERS=4096):
         return search_device(
             idx_co, qs, q_valid, doc_masks, doc_valid, cfg, q_terms,
             ivf_co, row_slot,
+            # doc-equality probe routing (ivf_search pair_doc mode):
+            # routed doc ids per slot, -1 for the unrouted slots
+            slot_doc=jnp.asarray([0, 1, 2, -1, -1, -1], jnp.int32),
         )
 
     reps = 16

@@ -35,9 +35,25 @@ class IVFIndex:
     pos_cluster: jax.Array   # i32 [N_pad] — cluster id per permuted position (K pad)
     list_offsets: jax.Array  # i32 [K + 1]
     row_scale: Optional[jax.Array] = None  # f32 [N_pad] when emb_perm is int8
+    # per-cluster min/max ORIGINAL row id (-1/-1 for empty lists): interval
+    # overlap gives routed-probe eligibility under contiguous-range routing
+    # without the [B, N] mask scatter (over-approximate — exact row-range
+    # masking happens on the candidates; a false-eligible cluster only
+    # costs a probe, never a wrong result)
+    list_row_min: Optional[jax.Array] = None  # i32 [K]
+    list_row_max: Optional[jax.Array] = None  # i32 [K]
+    # [K, n_docs] bool — does cluster c contain rows of doc d?  Built by
+    # cluster_order_index (doc identity is known there); exact routed-probe
+    # eligibility for cluster-ordered corpora via one one-hot matmul
+    cluster_doc: Optional[jax.Array] = None
     k_clusters: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_list: int = dataclasses.field(metadata=dict(static=True), default=0)
     dim: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # Pallas probe-kernel layout contract (ops/pallas_ivf.py): list starts
+    # aligned to `list_align` rows (0 = unaligned legacy layout) and
+    # `dma_pad_rows` over-allocated rows past the last list end
+    list_align: int = dataclasses.field(metadata=dict(static=True), default=0)
+    dma_pad_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 def build_ivf(
@@ -85,35 +101,69 @@ def build_ivf(
     order = np.argsort(assign, kind="stable")
     sorted_assign = assign[order]
     counts = np.bincount(sorted_assign, minlength=K)
-    offsets = np.zeros((K + 1,), np.int64)
-    np.cumsum(counts, out=offsets[1:])
+    offsets, n_pad = _aligned_offsets(counts)
 
-    n_pad = N  # keep the padded length of the source matrix
-    # permute on device; pad rows stay zero.  The all-valid case is a single
-    # gather — the zeros+set formulation costs an extra full-matrix buffer
-    # exactly at the build's peak (4 GB at 1M×1024).
-    if len(rows) == n_pad:
-        emb_perm_dev = x[jnp.asarray(order)].astype(emb.dtype)
-    else:
-        emb_perm_dev = jnp.zeros((n_pad, D), emb.dtype)
-        emb_perm_dev = emb_perm_dev.at[: len(rows)].set(
-            x[jnp.asarray(order)].astype(emb.dtype)
-        )
+    # scatter rows into their lists' ALIGNED slots; pad rows stay zero
+    # (the aligned layout is the Pallas probe kernel's contract —
+    # ops/pallas_ivf.py module docstring)
+    within = np.arange(len(rows)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    pos = offsets[:-1][sorted_assign] + within
+    emb_perm_dev = jnp.zeros((n_pad, D), emb.dtype)
+    emb_perm_dev = emb_perm_dev.at[jnp.asarray(pos)].set(
+        x[jnp.asarray(order)].astype(emb.dtype)
+    )
+    rows_sorted = rows[order]
     row_ids = np.full((n_pad,), -1, np.int32)
     pos_cluster = np.full((n_pad,), K, np.int32)
-    row_ids[: len(rows)] = rows[order]
-    pos_cluster[: len(rows)] = sorted_assign
+    row_ids[pos] = rows_sorted
+    pos_cluster[pos] = sorted_assign
+    lmin, lmax = _list_row_bounds(sorted_assign, rows_sorted, K)
 
+    from ..ops.pallas_ivf import ROW_ALIGN
+
+    max_list = int(counts.max()) if len(counts) else 0
     return IVFIndex(
         centroids=centroids,
         emb_perm=emb_perm_dev,
         row_ids=jnp.asarray(row_ids),
         pos_cluster=jnp.asarray(pos_cluster),
         list_offsets=jnp.asarray(offsets, jnp.int32),
+        list_row_min=jnp.asarray(lmin),
+        list_row_max=jnp.asarray(lmax),
         k_clusters=K,
-        max_list=int(counts.max()) if len(counts) else 0,
+        max_list=max_list,
         dim=D,
+        list_align=ROW_ALIGN,
+        dma_pad_rows=n_pad - int(offsets[-1]),
     )
+
+
+def _aligned_offsets(counts: np.ndarray):
+    """Cluster list offsets padded to the probe kernel's row alignment,
+    plus the total padded row count (tail DMA slack included, multiple of
+    128 for the flat span gathers)."""
+    from ..ops.pallas_ivf import ROW_ALIGN, dma_slack_rows
+
+    K = len(counts)
+    aligned = -(-counts // ROW_ALIGN) * ROW_ALIGN
+    offsets = np.zeros((K + 1,), np.int64)
+    np.cumsum(aligned, out=offsets[1:])
+    max_list = int(counts.max()) if K else 0
+    n_pad = int(offsets[-1]) + dma_slack_rows(max_list)
+    n_pad = -(-n_pad // 128) * 128
+    return offsets, n_pad
+
+
+def _list_row_bounds(sorted_assign, rows_sorted, K):
+    """Per-cluster min/max original row id (-1 for empty lists)."""
+    lmin = np.full((K,), np.iinfo(np.int32).max, np.int64)
+    lmax = np.full((K,), -1, np.int64)
+    np.minimum.at(lmin, sorted_assign, rows_sorted)
+    np.maximum.at(lmax, sorted_assign, rows_sorted)
+    lmin[lmax < 0] = -1
+    return lmin.astype(np.int32), lmax.astype(np.int32)
 
 
 def _balance_clusters(x, assign, centroids, max_list_size, iters, seed):
@@ -226,15 +276,14 @@ def build_ivf_streaming(
     for i in range(n_chunks):
         assigns.append(np.asarray(assign_clusters(chunk_provider(i), centroids)))
     counts = np.bincount(np.concatenate(assigns), minlength=K)
-    offsets = np.zeros((K + 1,), np.int64)
-    np.cumsum(counts, out=offsets[1:])
+    offsets, n_pad = _aligned_offsets(counts)
 
     # -- pass 3: scatter into the permuted store -------------------------
     D = int(centroids.shape[1])
     store_dtype = jnp.int8 if quantize else None
     dest = None
-    row_scale = jnp.zeros((N,), jnp.float32) if quantize else None
-    row_ids = np.full((N,), -1, np.int32)
+    row_scale = jnp.zeros((n_pad,), jnp.float32) if quantize else None
+    row_ids = np.full((n_pad,), -1, np.int32)
     cursor = offsets[:K].copy()
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -252,7 +301,7 @@ def build_ivf_streaming(
         chunk = chunk_provider(i)
         if dest is None:
             store_dtype = store_dtype or chunk.dtype
-            dest = jnp.zeros((N, D), store_dtype)
+            dest = jnp.zeros((n_pad, D), store_dtype)
         a = assigns[i]
         # per-row destination slot: next free position of its list
         pos = np.empty(len(a), np.int64)
@@ -269,9 +318,16 @@ def build_ivf_streaming(
             dest = scatter_rows(dest, pos_j, chunk)
         del chunk
 
-    pos_cluster = np.repeat(
-        np.arange(K, dtype=np.int32), counts
+    pos_cluster = np.full((n_pad,), K, np.int32)
+    for c in range(K):
+        pos_cluster[offsets[c] : offsets[c] + counts[c]] = c
+    live = row_ids >= 0
+    lmin, lmax = _list_row_bounds(
+        pos_cluster[live], row_ids[live].astype(np.int64), K
     )
+
+    from ..ops.pallas_ivf import ROW_ALIGN
+
     return IVFIndex(
         centroids=centroids,
         emb_perm=dest,
@@ -279,9 +335,13 @@ def build_ivf_streaming(
         pos_cluster=jnp.asarray(pos_cluster),
         list_offsets=jnp.asarray(offsets, jnp.int32),
         row_scale=row_scale,
+        list_row_min=jnp.asarray(lmin),
+        list_row_max=jnp.asarray(lmax),
         k_clusters=K,
         max_list=int(counts.max()) if len(counts) else 0,
         dim=D,
+        list_align=ROW_ALIGN,
+        dma_pad_rows=n_pad - int(offsets[-1]),
     )
 
 
@@ -379,14 +439,29 @@ def cluster_order_index(idx, meta, ivf: IVFIndex):
             for r in row_ids
         ]
         new_meta = dataclasses.replace(meta, chunk_texts=new_texts)
+    # cluster × doc presence: exact routed-probe eligibility for the
+    # cluster-ordered store (one one-hot matmul per search instead of the
+    # [B, N] row_ok scatter — ivf_search doc-mode)
+    pos_c = np.asarray(ivf.pos_cluster)
+    doc_perm = np.asarray(new_idx.doc_id)
+    K1 = ivf.k_clusters + 1
+    cd = np.zeros((K1, max(idx.n_docs, 1)), bool)
+    sel = live & (doc_perm >= 0)
+    cd[pos_c[sel], doc_perm[sel]] = True
+
     new_ivf = dataclasses.replace(
         ivf,
         row_ids=jnp.asarray(np.where(live, np.arange(P), -1).astype(np.int32)),
+        cluster_doc=jnp.asarray(cd),
+        # original-row bounds are meaningless after the reorder (rows ARE
+        # positions now) — doc-mode eligibility replaces them
+        list_row_min=None,
+        list_row_max=None,
     )
     return new_idx, new_meta, new_ivf
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "window"))
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "window", "impl"))
 def ivf_search(
     index: IVFIndex,
     q: jax.Array,
@@ -394,11 +469,36 @@ def ivf_search(
     nprobe: int = 8,
     window: Optional[int] = None,
     mask: Optional[jax.Array] = None,
+    win_start: Optional[jax.Array] = None,
+    win_len: Optional[jax.Array] = None,
+    pair_doc: Optional[jax.Array] = None,
+    pos_doc: Optional[jax.Array] = None,
+    impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k corpus rows per query.  ``mask`` (optional, [N] or [B, N] over
-    corpus rows) applies routing exactly as in the flat path — including
-    coarse probe selection: clusters containing no mask-eligible rows score
-    -inf, so a routed query can never probe only irrelevant clusters.
+    """Top-k corpus rows per query.
+
+    Routing (pick ONE; all reproduce the flat path's semantics including
+    coarse probe selection — a routed query never probes only clusters
+    with no eligible rows):
+
+    * ``mask`` ([N] or [B, N] bool over corpus rows) — general but
+      expensive at scale: eligibility is a [B, N] scatter and candidate
+      masking a [B, W] gather per probe (the 10M hybrid measured 10.6 qps
+      through it).
+    * ``win_start``/``win_len`` ([B] i32) — contiguous ORIGINAL-row range
+      per query (the index/build doc layout): eligibility from per-list
+      row bounds (``list_row_min/max``, over-approximate — exact range
+      masking happens on the candidates), candidate masking by compare.
+    * ``pair_doc`` ([B] i32 routed doc per query, -1 invalid) with
+      ``pos_doc`` ([N_rows] i32 doc id per PERMUTED position) — the
+      cluster-ordered-store mode: exact eligibility from the
+      ``cluster_doc`` presence bitmap (one one-hot matmul), candidate
+      masking by doc equality.
+
+    ``impl``: "auto" uses the fused Pallas span kernel
+    (ops/pallas_ivf.py) when the index layout allows and routing is not
+    mask-based; "xla" forces the probe-scan path; "pallas" forces the
+    kernel (interpret-mode off-TPU — tests).
 
     window: static per-list gather width (defaults to the longest list).
     """
@@ -412,7 +512,26 @@ def ivf_search(
         q_i8, q_scale = quantize_rows(qf)
 
     coarse = jnp.dot(qf, index.centroids.T, preferred_element_type=jnp.float32)
-    if mask is not None:
+    K = index.k_clusters
+    if pair_doc is not None and index.cluster_doc is not None:
+        # exact per-(query, cluster) eligibility: one one-hot matmul
+        n_docs = index.cluster_doc.shape[1]
+        onehot = (
+            pair_doc[:, None] == jnp.arange(n_docs, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)                                    # [B, n_docs]
+        elig = jnp.einsum(
+            "kd,bd->bk", index.cluster_doc[:K].astype(jnp.float32), onehot
+        ) > 0.0
+        coarse = jnp.where(elig, coarse, NEG_INF)
+    elif win_start is not None and index.list_row_min is not None:
+        # interval-overlap eligibility (over-approximate, correctness-safe)
+        lo = index.list_row_min[None, :K]
+        hi = index.list_row_max[None, :K]
+        s_col = win_start[:, None]
+        e_col = (win_start + win_len)[:, None]
+        elig = (hi >= 0) & (lo < e_col) & (hi >= s_col) & (win_len[:, None] > 0)
+        coarse = jnp.where(elig, coarse, NEG_INF)
+    elif mask is not None:
         # per-cluster eligibility under the routing mask
         safe_rows_all = jnp.maximum(index.row_ids, 0)
         row_ok = (
@@ -421,10 +540,10 @@ def ivf_search(
         K1 = index.k_clusters + 1
         if row_ok.ndim == 1:
             elig = jnp.zeros((K1,), bool).at[index.pos_cluster].max(row_ok)
-            coarse = jnp.where(elig[None, : index.k_clusters], coarse, NEG_INF)
+            coarse = jnp.where(elig[None, :K], coarse, NEG_INF)
         else:
             elig = jnp.zeros((B, K1), bool).at[:, index.pos_cluster].max(row_ok)
-            coarse = jnp.where(elig[:, : index.k_clusters], coarse, NEG_INF)
+            coarse = jnp.where(elig[:, :K], coarse, NEG_INF)
     _, probes = jax.lax.top_k(coarse, min(nprobe, index.k_clusters))  # [B, P]
     P = probes.shape[1]
     k_eff = min(k, P * W)
@@ -432,6 +551,65 @@ def ivf_search(
     starts = index.list_offsets[probes]              # [B, P]
     ends = index.list_offsets[probes + 1]            # [B, P]
     offs = jnp.arange(W, dtype=jnp.int32)            # [W]
+
+    from ..ops.pallas_ivf import probe_fast_path_ok
+
+    use_kernel = impl == "pallas" or (
+        impl == "auto"
+        and mask is None
+        and probe_fast_path_ok(index, W)
+        and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from ..ops.pallas_bm25 import gather_posting_spans
+        from ..ops.pallas_ivf import probe_span_scores
+
+        interp = None if impl == "auto" else (jax.default_backend() != "tpu")
+        sf = starts.reshape(B * P)
+        q_span = q_i8 if int8_store else qf.astype(index.emb_perm.dtype)
+        acc = probe_span_scores(
+            index.emb_perm, jnp.repeat(q_span, P, axis=0),   # one q per span
+            sf, window=W, interpret=interp,
+        )                                            # [B*P, W] raw dots
+        id_arr = pos_doc if pair_doc is not None else index.row_ids
+        if int8_store:
+            ids_g, scale_g = gather_posting_spans(
+                id_arr, index.row_scale, sf, window=W, interpret=interp
+            )
+            scores = (
+                acc.reshape(B, P * W)
+                * q_scale[:, None]
+                * scale_g.reshape(B, P * W)
+            )
+        else:
+            ids_g, _ = gather_posting_spans(
+                id_arr, jnp.zeros_like(id_arr, jnp.float32), sf,
+                window=W, interpret=interp,
+            )
+            scores = acc.reshape(B, P * W)
+        ids_flat = ids_g.reshape(B, P * W)
+        # bound each span to its own list: a short list's aligned slot is
+        # narrower than W, and the span would otherwise run into the NEXT
+        # cluster's live rows (duplicate candidates)
+        in_list = (offs[None, None, :] < (ends - starts)[:, :, None]).reshape(
+            B, P * W
+        )
+        ok = in_list & (ids_flat >= 0)               # pad rows carry -1
+        if pair_doc is not None:
+            ok = ok & (ids_flat == pair_doc[:, None]) & (pair_doc[:, None] >= 0)
+            # candidate rows ARE permuted positions (identity row_ids)
+            rows_flat = (sf[:, None] + offs[None, :]).reshape(B, P * W)
+        else:
+            if win_start is not None:
+                ok = ok & (ids_flat >= win_start[:, None]) & (
+                    ids_flat < (win_start + win_len)[:, None]
+                )
+            rows_flat = ids_flat
+        scores = jnp.where(ok, scores, NEG_INF)
+        vals, idx_top = jax.lax.top_k(scores, k_eff)
+        rows = jnp.take_along_axis(rows_flat, idx_top, axis=1)
+        rows = jnp.where(vals > NEG_INF / 2, rows, -1)
+        return vals, rows
 
     # Scan over probes with a running top-k: the candidate-vector gather is
     # [B, W, D] per step instead of [B, P, W, D] at once — this is what
@@ -459,7 +637,15 @@ def ivf_search(
                 precision=jax.lax.Precision.HIGHEST,
             )
         ok = in_list & (cand_rows >= 0)
-        if mask is not None:
+        if pair_doc is not None and pos_doc is not None:
+            cand_doc = pos_doc[pos]                  # [B, W]
+            ok = ok & (cand_doc == pair_doc[:, None]) & (pair_doc[:, None] >= 0)
+            cand_rows = pos                          # positions ARE rows here
+        elif win_start is not None:
+            ok = ok & (cand_rows >= win_start[:, None]) & (
+                cand_rows < (win_start + win_len)[:, None]
+            )
+        elif mask is not None:
             safe = jnp.maximum(cand_rows, 0)
             ok = ok & (
                 mask[safe] if mask.ndim == 1

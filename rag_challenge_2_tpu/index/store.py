@@ -127,6 +127,9 @@ def save_ivf(path: Path, ivf, fingerprint: Optional[str] = None) -> None:
     }
     if ivf.row_scale is not None:
         arrays["row_scale"] = np.asarray(ivf.row_scale)
+    for opt in ("list_row_min", "list_row_max", "cluster_doc"):
+        if getattr(ivf, opt) is not None:
+            arrays[opt] = np.asarray(getattr(ivf, opt))
     statics = {
         "version": _FORMAT_VERSION,
         "k_clusters": ivf.k_clusters,
@@ -134,6 +137,9 @@ def save_ivf(path: Path, ivf, fingerprint: Optional[str] = None) -> None:
         "dim": ivf.dim,
         "emb_dtype": str(jnp.asarray(ivf.emb_perm).dtype),
         "fingerprint": fingerprint,
+        # Pallas probe-kernel layout contract (index/ivf.IVFIndex)
+        "list_align": ivf.list_align,
+        "dma_pad_rows": ivf.dma_pad_rows,
     }
     np.savez_compressed(path, __statics__=json.dumps(statics), **arrays)
 
@@ -166,9 +172,21 @@ def load_ivf(path: Path, expect_fingerprint: Optional[str] = None,
         pos_cluster=jnp.asarray(z["pos_cluster"]),
         list_offsets=jnp.asarray(z["list_offsets"]),
         row_scale=jnp.asarray(z["row_scale"]) if "row_scale" in z.files else None,
+        list_row_min=(
+            jnp.asarray(z["list_row_min"]) if "list_row_min" in z.files else None
+        ),
+        list_row_max=(
+            jnp.asarray(z["list_row_max"]) if "list_row_max" in z.files else None
+        ),
+        cluster_doc=(
+            jnp.asarray(z["cluster_doc"]) if "cluster_doc" in z.files else None
+        ),
         k_clusters=statics["k_clusters"],
         max_list=statics["max_list"],
         dim=statics["dim"],
+        # pre-layout-contract sidecars load as legacy (unaligned) layout
+        list_align=statics.get("list_align", 0),
+        dma_pad_rows=statics.get("dma_pad_rows", 0),
     )
     if device_put:
         ivf = jax.device_put(ivf)

@@ -115,6 +115,7 @@ def search_device(
     row_slot: Optional[jax.Array] = None,  # [N] doc-slot per row (use_bm25)
     win_start: Optional[jax.Array] = None,  # [M] doc window starts (window>0)
     win_len: Optional[jax.Array] = None,    # [M] doc window lengths
+    slot_doc: Optional[jax.Array] = None,  # [M] routed doc id per slot (-1 pad)
     window: int = 0,       # static doc-window size; 0 = full-corpus hops
 ) -> Tuple[FusedCandidates, Dict]:
     """Full fan-out + aggregation for one question, on device.
@@ -248,12 +249,33 @@ def search_device(
         if cfg.use_ivf and ivf is not None:
             from ..index.ivf import ivf_search
 
-            # one batched probe-search over all (query, doc) pairs —
-            # ivf_search takes [B, N] masks and applies them to coarse
-            # probe selection too (routed clusters only)
-            vals, rows = ivf_search(
-                ivf, q_pair, k, nprobe=cfg.ivf_nprobe, mask=pair_mask
-            )
+            # one batched probe-search over all (query, doc) pairs.
+            # Routing mode (cheapest eligible — index/ivf.ivf_search):
+            # cluster-ordered corpora route by doc EQUALITY on span-
+            # gathered doc ids; contiguous-range corpora by row-range
+            # compares; the [B, N] boolean pair_mask (a scatter + per-
+            # probe gather that measured 10.6 qps at 10M) only as the
+            # general fallback.
+            qv_rep = jnp.repeat(q_valid, M)
+            if slot_doc is not None and ivf.cluster_doc is not None:
+                pd = jnp.where(qv_rep, jnp.tile(slot_doc, Q), -1)
+                vals, rows = ivf_search(
+                    ivf, q_pair, k, nprobe=cfg.ivf_nprobe,
+                    pair_doc=pd, pos_doc=index.doc_id,
+                )
+            elif use_window:
+                pw_s = jnp.tile(win_start, Q)
+                pw_l = jnp.where(
+                    qv_rep & jnp.tile(doc_valid, Q), jnp.tile(win_len, Q), 0
+                )
+                vals, rows = ivf_search(
+                    ivf, q_pair, k, nprobe=cfg.ivf_nprobe,
+                    win_start=pw_s, win_len=pw_l,
+                )
+            else:
+                vals, rows = ivf_search(
+                    ivf, q_pair, k, nprobe=cfg.ivf_nprobe, mask=pair_mask
+                )
         else:
             vals, rows = pair_topk(k)
         ok = vals > NEG_INF / 2
@@ -558,16 +580,20 @@ class QueryEngine:
         slot = np.full((self.index.n_pad,), max_docs, np.int32)
         ws = np.zeros((max_docs,), np.int32)
         wl = np.zeros((max_docs,), np.int32)
+        # routed doc id per slot (-1 pad) — the cluster-ordered IVF
+        # doc-equality routing mode (index/ivf.ivf_search pair_doc)
+        sd = np.full((max_docs,), -1, np.int32)
         valid = np.asarray(self.index.valid)
         for i, d in enumerate(doc_ids):
             m[i] = valid & (self._doc_ids_np == d)
             slot[m[i]] = i
             v[i] = True
+            sd[i] = d
             if d in self._doc_ranges:
                 ws[i], wl[i] = self._doc_ranges[d]
         out = (
             jnp.asarray(m), jnp.asarray(v), jnp.asarray(slot),
-            jnp.asarray(ws), jnp.asarray(wl),
+            jnp.asarray(ws), jnp.asarray(wl), jnp.asarray(sd),
         )
         # bounded LRU: each route holds ~(max_docs+1)·N device bytes; an
         # unbounded cache leaks HBM under many distinct year filters
@@ -595,7 +621,7 @@ class QueryEngine:
         doc_ids = self.routed_docs(company, question, selected_years)
         if not doc_ids:
             raise ValueError(f"No report found with '{company}' company name.")
-        dm, dv, row_slot, ws, wl = self.doc_masks(doc_ids, cfg.max_docs)
+        dm, dv, row_slot, ws, wl, slot_doc = self.doc_masks(doc_ids, cfg.max_docs)
         B = min(query_embs.shape[0], cfg.max_queries)
         if isinstance(query_embs, jax.Array):
             # device-resident queries (e.g. EmbeddingModel.embed_device):
@@ -619,7 +645,7 @@ class QueryEngine:
         cands, details = search_device(
             self.index, q_dev, qv_dev, dm, dv, cfg, q_terms,
             self.ivf if cfg.use_ivf else None, row_slot,
-            ws, wl, window=self.window,
+            ws, wl, slot_doc, window=self.window,
         )
         return (cands, details) if with_details else cands
 

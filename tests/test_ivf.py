@@ -200,28 +200,34 @@ def test_streaming_build_matches_in_memory_quality(rng, quantize):
         lambda i: chunks[i], len(chunks), n_clusters=8, iters=8,
         sample_rows=600, max_list_size=400, quantize=quantize,
     )
-    # structure: row_ids is a permutation of all corpus rows
+    # structure: live row_ids are a permutation of all corpus rows; pad
+    # positions (the Pallas probe kernel's aligned-list layout) carry -1
     row_ids = np.asarray(ivf.row_ids)
-    assert sorted(row_ids.tolist()) == list(range(N))
-    assert ivf.emb_perm.shape == (N, 32)
+    live = row_ids >= 0
+    assert sorted(row_ids[live].tolist()) == list(range(N))
+    assert ivf.emb_perm.shape[1] == 32
+    assert ivf.emb_perm.shape[0] % 128 == 0
+    assert ivf.list_align >= 32 and ivf.dma_pad_rows > 0
     assert (ivf.emb_perm.dtype == jnp.int8) == quantize
     assert (ivf.row_scale is not None) == quantize
     offs = np.asarray(ivf.list_offsets)
-    assert offs[-1] == N and (np.diff(offs) >= 0).all()
+    assert (offs % ivf.list_align == 0).all() and (np.diff(offs) >= 0).all()
+    assert ivf.emb_perm.shape[0] - offs[-1] == ivf.dma_pad_rows
     # every stored row sits in the list its vector assigns to
     a_all = np.asarray(assign_clusters(jnp.asarray(x), ivf.centroids))
     pc = np.asarray(ivf.pos_cluster)
-    np.testing.assert_array_equal(pc, a_all[row_ids])
+    np.testing.assert_array_equal(pc[live], a_all[row_ids[live]])
+    assert (pc[~live] == ivf.k_clusters).all()
     # stored vectors match their source rows
     if not quantize:
         np.testing.assert_allclose(
-            np.asarray(ivf.emb_perm), x[row_ids], rtol=1e-6
+            np.asarray(ivf.emb_perm)[live], x[row_ids[live]], rtol=1e-6
         )
     else:
         deq = np.asarray(ivf.emb_perm).astype(np.float32) * np.asarray(
             ivf.row_scale
         )[:, None]
-        np.testing.assert_allclose(deq, x[row_ids], atol=2e-2)
+        np.testing.assert_allclose(deq[live], x[row_ids[live]], atol=2e-2)
 
     # recall parity with the in-memory build at the same operating point
     q = jnp.asarray(x[:16] + 0.01)
@@ -236,3 +242,116 @@ def test_streaming_build_matches_in_memory_quality(rng, quantize):
     )
     assert rec(r_str) >= rec(r_mem) - 0.05
     assert rec(r_str) >= 0.8
+
+
+# ---------------------------------------------------------------- fast path
+
+def test_probe_span_scores_matches_gather(rng):
+    """The fused Pallas span kernel (interpret off-TPU) == XLA gather dot."""
+    from rag_challenge_2_tpu.ops.pallas_ivf import ROW_ALIGN, probe_span_scores
+
+    N, D, W, G = 4096, 64, 256, 9      # G not a multiple of spans/program
+    emb = rng.integers(-127, 128, size=(N, D)).astype(np.int8)
+    q = rng.integers(-127, 128, size=(G, D)).astype(np.int8)
+    starts = (rng.integers(0, (N - W) // ROW_ALIGN, size=(G,)) * ROW_ALIGN).astype(
+        np.int32
+    )
+    got = np.asarray(probe_span_scores(
+        jnp.asarray(emb), jnp.asarray(q), jnp.asarray(starts), window=W,
+        interpret=True,
+    ))
+    pos = starts[:, None] + np.arange(W)
+    oracle = np.einsum(
+        "gd,gwd->gw", q.astype(np.int32), emb[pos].astype(np.int32)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(got, oracle)
+
+    # f32 store path
+    embf = rng.normal(size=(N, D)).astype(np.float32)
+    qf = rng.normal(size=(G, D)).astype(np.float32)
+    gotf = np.asarray(probe_span_scores(
+        jnp.asarray(embf), jnp.asarray(qf), jnp.asarray(starts), window=W,
+        interpret=True,
+    ))
+    oraclef = np.einsum("gd,gwd->gw", qf, embf[pos])
+    np.testing.assert_allclose(gotf, oraclef, rtol=1e-5, atol=1e-4)
+
+
+def test_ivf_search_routing_modes_agree(rng):
+    """mask / win-range / kernel impl all return the same rows+scores on a
+    contiguous-doc corpus."""
+    x, _ = _clustered_data(rng, n_clusters=8, per=128, d=32)
+    N = len(x)                          # 1024, two 512-row "documents"
+    idx = build_ivf(jnp.asarray(x), n_clusters=8, iters=8, max_list_size=256)
+    assert idx.list_align >= 32 and idx.list_row_min is not None
+    q = x[rng.choice(N, 6)] + 0.01 * rng.normal(size=(6, 32)).astype(np.float32)
+    q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+
+    # route queries 0-2 to doc A (rows < 512), 3-5 to doc B
+    ws = np.array([0, 0, 0, 512, 512, 512], np.int32)
+    wl = np.full((6,), 512, np.int32)
+    mask = np.zeros((6, N), bool)
+    for b in range(6):
+        mask[b, ws[b] : ws[b] + wl[b]] = True
+
+    vm, rm = ivf_search(idx, q, 5, nprobe=8, mask=jnp.asarray(mask))
+    vw, rw = ivf_search(idx, q, 5, nprobe=8,
+                        win_start=jnp.asarray(ws), win_len=jnp.asarray(wl))
+    vk, rk = ivf_search(idx, q, 5, nprobe=8,
+                        win_start=jnp.asarray(ws), win_len=jnp.asarray(wl),
+                        impl="pallas")
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vw), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(rw))
+    np.testing.assert_allclose(np.asarray(vw), np.asarray(vk), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rw), np.asarray(rk))
+    # every returned row honors its query's range
+    rows = np.asarray(rw)
+    for b in range(6):
+        got = rows[b][rows[b] >= 0]
+        assert ((got >= ws[b]) & (got < ws[b] + wl[b])).all()
+
+
+def test_ivf_search_pair_doc_mode(rng):
+    """Cluster-ordered corpora: doc-equality routing == boolean-mask routing."""
+    from rag_challenge_2_tpu.index.ivf import cluster_order_index
+    from rag_challenge_2_tpu.index.schema import CorpusIndex
+
+    x, _ = _clustered_data(rng, n_clusters=8, per=128, d=32)
+    N = len(x)
+    rows = np.arange(N, dtype=np.int32)
+    doc_id = (rows // 512).astype(np.int32)
+    idx0 = CorpusIndex(
+        emb=jnp.asarray(x), doc_id=jnp.asarray(doc_id),
+        page=jnp.asarray(rows % 7 + 1), year=jnp.asarray(2020 + doc_id),
+        company_id=jnp.zeros((N,), jnp.int32), kind=jnp.zeros((N,), jnp.int32),
+        page_seg=jnp.asarray(rows // 3), chunk_in_doc=jnp.asarray(rows % 512),
+        valid=jnp.ones((N,), bool), sparse=None,
+        n_chunks=N, n_pages=N // 3, n_docs=2, dim=32,
+    )
+    ivf = build_ivf(jnp.asarray(x), n_clusters=8, iters=8, max_list_size=256)
+    idx_co, _, ivf_co = cluster_order_index(idx0, None, ivf)
+    assert ivf_co.cluster_doc is not None
+    P = ivf_co.emb_perm.shape[0]
+
+    q = x[rng.choice(N, 6)] + 0.01 * rng.normal(size=(6, 32)).astype(np.float32)
+    q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+    pair_doc = np.array([0, 0, 0, 1, 1, -1], np.int32)
+
+    # oracle mask over PERMUTED positions (row ids are the identity now)
+    doc_perm = np.asarray(idx_co.doc_id)
+    mask = np.zeros((6, P), bool)
+    for b in range(6):
+        if pair_doc[b] >= 0:
+            mask[b] = doc_perm == pair_doc[b]
+    vm, rm = ivf_search(ivf_co, q, 5, nprobe=8, mask=jnp.asarray(mask))
+    vd, rd = ivf_search(ivf_co, q, 5, nprobe=8,
+                        pair_doc=jnp.asarray(pair_doc), pos_doc=idx_co.doc_id)
+    vk, rk = ivf_search(ivf_co, q, 5, nprobe=8,
+                        pair_doc=jnp.asarray(pair_doc), pos_doc=idx_co.doc_id,
+                        impl="pallas")
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vd), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(rd))
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vk), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rd), np.asarray(rk))
+    # invalid pair returns nothing
+    assert (np.asarray(rd)[5] == -1).all()
