@@ -105,14 +105,18 @@ def build_ivf(
 
     # scatter rows into their lists' ALIGNED slots; pad rows stay zero
     # (the aligned layout is the Pallas probe kernel's contract —
-    # ops/pallas_ivf.py module docstring)
+    # ops/pallas_ivf.py module docstring).  x scatters DIRECTLY via the
+    # inverse permutation — x[order] as a scatter operand would hold a
+    # third full-matrix buffer at the build's peak (4 GB at 1M×1024)
     within = np.arange(len(rows)) - np.repeat(
         np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
     )
     pos = offsets[:-1][sorted_assign] + within
+    pos_of_x = np.empty(len(rows), np.int64)
+    pos_of_x[order] = pos
     emb_perm_dev = jnp.zeros((n_pad, D), emb.dtype)
-    emb_perm_dev = emb_perm_dev.at[jnp.asarray(pos)].set(
-        x[jnp.asarray(order)].astype(emb.dtype)
+    emb_perm_dev = emb_perm_dev.at[jnp.asarray(pos_of_x)].set(
+        x.astype(emb.dtype)
     )
     rows_sorted = rows[order]
     row_ids = np.full((n_pad,), -1, np.int32)
