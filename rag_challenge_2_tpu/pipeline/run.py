@@ -332,4 +332,12 @@ configs: Dict[str, RunConfig] = {
     "offline": _cfg(parent_document_retrieval=True, api_provider="stub",
                     answering_model="stub", parallel_requests=1,
                     submission_file=True, config_suffix="_offline"),
+    # 10M-row serving preset (BASELINE config 5 scale): int8 row store
+    # (10.2 GB for 10M×1024 — the only way the corpus fits one chip),
+    # IVF probes over the cluster-ordered store (one buffer for probes +
+    # flat paths, Pallas span-fused scoring), and the PartialReduce fast
+    # scan for the traversal/exact tiers.  bench.py measures every tier.
+    "scale10m": _cfg(parent_document_retrieval=True, quantize_int8=True,
+                     use_ivf=True, ivf_nprobe=8, cluster_order=True,
+                     scan_rt=0.95, config_suffix="_scale10m"),
 }
