@@ -74,6 +74,14 @@ class PretrainConfig:
     # keeps their relative weights.
     soft_target_weight: float = 0.0
     soft_target_temp: float = 2.0
+    # inverse-document-frequency chunk sampling: source chunks are drawn
+    # ∝ (mean idf of their unique terms)^idf_sampling instead of
+    # uniformly.  Rare-vocabulary chunks — definitional/glossary text,
+    # the only places a corpus states synonym links — are a sliver of
+    # any real corpus and uniform sampling starves the model of exactly
+    # the pairs that teach synonymy; idf weighting oversamples them
+    # without knowing anything about the eval.  0 = uniform.
+    idf_sampling: float = 0.0
 
 
 def ict_pairs(
@@ -162,6 +170,36 @@ class PairSampler:
             )
             self._n_pad = n_pad
             self._mine = True
+        self._chunk_p = None
+        if cfg.idf_sampling > 0:
+            self._chunk_p = self._idf_weights(cfg)
+
+    def _idf_weights(self, cfg: PretrainConfig) -> np.ndarray:
+        """Per-chunk sampling distribution ∝ (mean unique-term idf)^power
+        (PretrainConfig.idf_sampling doc)."""
+        from ..utils import tokenize as tok
+
+        # document frequency per term over the training texts
+        df: Dict[int, int] = {}
+        per_chunk: List[List[int]] = []
+        for t in self.texts:
+            ids = set(tok.token_ids(t, cfg.bm25_vocab_bits))
+            per_chunk.append(list(ids))
+            for i in ids:
+                df[i] = df.get(i, 0) + 1
+        n = max(len(self.texts), 1)
+        w = np.ones((len(self.texts),), np.float64)
+        for ci, ids in enumerate(per_chunk):
+            if ids:
+                idf = [np.log1p((n - df[i] + 0.5) / (df[i] + 0.5)) for i in ids]
+                w[ci] = max(float(np.mean(idf)), 1e-9)
+        w = w ** cfg.idf_sampling
+        return w / w.sum()
+
+    def _draw_chunk(self, rng: np.random.Generator) -> int:
+        if self._chunk_p is not None:
+            return int(rng.choice(len(self.texts), p=self._chunk_p))
+        return int(rng.integers(0, len(self.texts)))
 
     def _crop(self, t: str, rng: np.random.Generator) -> str:
         span = int(rng.integers(max(self.cfg.min_span, len(t) // 2), len(t) + 1))
@@ -192,7 +230,7 @@ class PairSampler:
         B = cfg.batch_size
         if self._mine and rng.random() < cfg.hard_batch_prob:
             # hard-negative batch: one seed crop's BM25 neighborhood
-            seed_t = self.texts[rng.integers(0, len(self.texts))]
+            seed_t = self.texts[self._draw_chunk(rng)]
             s = self._teacher_scores([self._crop(seed_t, rng)])[0]
             nbr = np.argsort(-s, kind="stable")[:B]
             chunk_ids = [int(i) for i in nbr]
@@ -200,7 +238,7 @@ class PairSampler:
             while len(chunk_ids) < B:
                 chunk_ids.append(int(rng.integers(0, len(self.texts))))
         else:
-            chunk_ids = [int(rng.integers(0, len(self.texts))) for _ in range(B)]
+            chunk_ids = [self._draw_chunk(rng) for _ in range(B)]
 
         queries, passages, want_nbr = [], [], []
         passage_ids = list(chunk_ids)          # source chunk per passage

@@ -437,3 +437,36 @@ def test_pretrain_warm_start_and_lr_schedule():
     l1 = jax.tree_util.tree_leaves(m1.params)
     l2 = jax.tree_util.tree_leaves(m2.params)
     assert all(a.shape == b.shape for a, b in zip(l1, l2))
+
+
+def test_pair_sampler_idf_sampling_oversamples_rare_vocab():
+    """idf_sampling>0: chunks with rare vocabulary (glossary-like text)
+    are drawn more often than common-template chunks; 0 keeps uniform."""
+    from rag_challenge_2_tpu.models.pretrain import PairSampler, PretrainConfig
+
+    # 30 near-identical template chunks (high df terms) + 2 chunks of
+    # unique vocabulary (df=1 terms -> high mean idf)
+    common = [f"公司A 2020年 营业收入 为 {v} 亿元 较上年 增长" for v in range(30)]
+    rare = [
+        "毛利率 定义 指 毛利 占 营业收入 比例 反映 盈利 能力",
+        "资产负债率 定义 指 负债 总额 除以 资产 总额 衡量 杠杆",
+    ]
+    texts = common + rare
+
+    cfg = PretrainConfig(batch_size=16, crop_prob=1.0, min_span=6,
+                         idf_sampling=2.0)
+    s = PairSampler(texts, cfg)
+    assert s._chunk_p is not None and s._chunk_p.shape == (len(texts),)
+    np.testing.assert_allclose(s._chunk_p.sum(), 1.0, rtol=1e-9)
+    # each rare chunk individually outweighs each common chunk
+    assert s._chunk_p[len(common):].min() > s._chunk_p[:len(common)].max()
+
+    rng = np.random.default_rng(0)
+    draws = np.asarray([s._draw_chunk(rng) for _ in range(2000)])
+    rare_frac = float(np.mean(draws >= len(common)))
+    assert rare_frac > 2 * len(rare) / len(texts), rare_frac
+
+    # power 0 = uniform (no distribution built at all)
+    s0 = PairSampler(texts, PretrainConfig(batch_size=16, crop_prob=1.0,
+                                           min_span=6))
+    assert s0._chunk_p is None
