@@ -408,7 +408,9 @@ def bench_int8_10m(extras, N=10_000_000, D=1024, C=500_000):
     )
     rows = jnp.arange(N, dtype=jnp.int32)
     per_doc = N // N_DOCS
-    doc_id = (rows // per_doc).astype(jnp.int32)
+    # clamp: when N_DOCS doesn't divide N the last few rows would get doc
+    # id N_DOCS (routed nowhere on device, and an out-of-range id host-side)
+    doc_id = jnp.minimum(rows // per_doc, N_DOCS - 1).astype(jnp.int32)
     idx = CorpusIndex(
         emb=buf, doc_id=doc_id, page=rows % 500 + 1, year=2020 + doc_id,
         company_id=jnp.zeros((N,), jnp.int32), kind=jnp.zeros((N,), jnp.int32),
@@ -631,7 +633,7 @@ def bench_ivf_10m(extras, N=10_000_000, D=1024, C=500_000, N_CENTERS=4096):
     )
     rows = jnp.arange(N, dtype=jnp.int32)
     per_doc = N // N_DOCS
-    doc_id = (rows // per_doc).astype(jnp.int32)
+    doc_id = jnp.minimum(rows // per_doc, N_DOCS - 1).astype(jnp.int32)
     # flat-layout CorpusIndex carrying METADATA only (emb is a 1-row
     # placeholder — cluster_order_index replaces it with ivf.emb_perm, and
     # the flat 10M store never exists in this section)

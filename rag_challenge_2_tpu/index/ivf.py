@@ -449,8 +449,13 @@ def cluster_order_index(idx, meta, ivf: IVFIndex):
     pos_c = np.asarray(ivf.pos_cluster)
     doc_perm = np.asarray(new_idx.doc_id)
     K1 = ivf.k_clusters + 1
-    cd = np.zeros((K1, max(idx.n_docs, 1)), bool)
-    sel = live & (doc_perm >= 0)
+    n_docs = max(idx.n_docs, 1)
+    cd = np.zeros((K1, n_docs), bool)
+    # rows whose doc id falls outside [0, n_docs) (pad sentinels, or
+    # malformed metadata) are simply never probe-eligible — doc-mode
+    # ivf_search compares ids by equality, so leaving their bits unset
+    # matches the device semantics instead of crashing the host build
+    sel = live & (doc_perm >= 0) & (doc_perm < n_docs)
     cd[pos_c[sel], doc_perm[sel]] = True
 
     new_ivf = dataclasses.replace(

@@ -355,3 +355,39 @@ def test_ivf_search_pair_doc_mode(rng):
     np.testing.assert_array_equal(np.asarray(rd), np.asarray(rk))
     # invalid pair returns nothing
     assert (np.asarray(rd)[5] == -1).all()
+
+
+def test_cluster_order_index_out_of_range_doc_id(rng):
+    """A corpus whose doc_id column carries ids >= n_docs (pad sentinels /
+    malformed metadata) must cluster-order without a host IndexError; the
+    out-of-range rows are never probe-eligible in doc mode."""
+    from rag_challenge_2_tpu.index.ivf import cluster_order_index
+    from rag_challenge_2_tpu.index.schema import CorpusIndex
+
+    x, _ = _clustered_data(rng, n_clusters=4, per=64, d=32)
+    N = len(x)
+    rows = np.arange(N, dtype=np.int32)
+    doc_id = (rows // 100).astype(np.int32)   # 100∤256: last rows get id 2
+    n_docs = 2
+    assert doc_id.max() >= n_docs             # the out-of-range case
+    idx0 = CorpusIndex(
+        emb=jnp.asarray(x), doc_id=jnp.asarray(doc_id),
+        page=jnp.asarray(rows % 7 + 1), year=jnp.asarray(2020 + doc_id),
+        company_id=jnp.zeros((N,), jnp.int32), kind=jnp.zeros((N,), jnp.int32),
+        page_seg=jnp.asarray(rows // 3), chunk_in_doc=jnp.asarray(rows % 100),
+        valid=jnp.ones((N,), bool), sparse=None,
+        n_chunks=N, n_pages=N // 3, n_docs=n_docs, dim=32,
+    )
+    ivf = build_ivf(jnp.asarray(x), n_clusters=4, iters=4, max_list_size=128)
+    idx_co, _, ivf_co = cluster_order_index(idx0, None, ivf)   # must not raise
+    assert ivf_co.cluster_doc.shape[1] == n_docs
+
+    q = jnp.asarray(x[:2] / np.linalg.norm(x[:2], axis=1, keepdims=True))
+    pair_doc = jnp.asarray([0, 1], np.int32)
+    vd, rd = ivf_search(ivf_co, q, 5, nprobe=4,
+                        pair_doc=pair_doc, pos_doc=idx_co.doc_id)
+    rd = np.asarray(rd)
+    doc_perm = np.asarray(idx_co.doc_id)
+    for b in range(2):
+        got = rd[b][rd[b] >= 0]
+        assert (doc_perm[got] == int(pair_doc[b])).all()
