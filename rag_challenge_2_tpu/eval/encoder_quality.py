@@ -260,7 +260,10 @@ def run_quality_eval(
     model, info = pretrain_encoder(
         ds.chunk_texts,
         enc_cfg=cfg,
-        pre_cfg=PretrainConfig(steps=ict_steps, batch_size=batch_size, seed=seed),
+        pre_cfg=PretrainConfig(
+            steps=ict_steps, batch_size=batch_size, seed=seed,
+            bm25_neighbor_prob=0.0, hard_batch_prob=0.0,  # mining OFF
+        ),
     )
     results["encoder_unsupervised"] = eval_dense(model.embed, ds)
     log(f"unsupervised crop+ICT {ict_steps} steps (final {info['final']}): "
@@ -270,14 +273,13 @@ def run_quality_eval(
     # in-repo sparse path + hard in-batch negatives from BM25
     # neighborhoods.  The dense model inherits BM25's lexical graph and —
     # through embedding transitivity across glossary chunks — the
-    # alias↔metric links BM25 itself cannot score.
+    # alias↔metric links BM25 itself cannot score.  The 0.8/1.0 mix is
+    # PretrainConfig's default (the measured-best of the ablation
+    # recorded there: 0.47 hit@10 vs 0.385 for the earlier 0.5/0.5).
     distill, info = pretrain_encoder(
         ds.chunk_texts,
         enc_cfg=cfg,
-        pre_cfg=PretrainConfig(
-            steps=ict_steps, batch_size=batch_size, seed=seed,
-            bm25_neighbor_prob=0.5, hard_batch_prob=0.5,
-        ),
+        pre_cfg=PretrainConfig(steps=ict_steps, batch_size=batch_size, seed=seed),
     )
     results["encoder_bm25_distill"] = eval_dense(distill.embed, ds)
     log(f"unsupervised + bm25-distill {ict_steps} steps "
@@ -294,7 +296,8 @@ def run_quality_eval(
         enc_cfg=cfg,
         pre_cfg=PretrainConfig(
             steps=ict_steps, batch_size=batch_size, seed=seed,
-            hard_batch_prob=0.5, soft_target_weight=0.8,
+            bm25_neighbor_prob=0.0, hard_batch_prob=0.5,
+            soft_target_weight=0.8,
         ),
     )
     results["encoder_bm25_listwise"] = eval_dense(listwise.embed, ds)

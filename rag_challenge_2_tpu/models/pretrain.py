@@ -57,12 +57,17 @@ class PretrainConfig:
     # path's lexical-graph structure and, through embedding transitivity,
     # associations BM25 itself cannot score (a glossary chunk that shares
     # a metric term with fact chunks pulls its alias tokens toward them).
-    bm25_neighbor_prob: float = 0.0
+    # Default = the measured-best label-free mix on the config-4 quality
+    # eval (docs/ENCODER_QUALITY.json): 0.8/1.0 scores 0.47 hit@10 vs
+    # 0.385 for 0.5/0.5, 0.305 random init, 0.18 crop+ICT alone.  Ablated
+    # non-winners: 3× steps 0.455, idf-weighted chunk sampling 0.43,
+    # listwise soft targets 0.21.  Set both to 0 for pure crop+ICT.
+    bm25_neighbor_prob: float = 0.8
     bm25_vocab_bits: int = 18
     # with this probability a step's batch is one seed crop's top BM25
     # neighborhood — in-batch negatives become lexically-close hard
     # negatives (same company/other year, same metric/other company)
-    hard_batch_prob: float = 0.0
+    hard_batch_prob: float = 1.0
     # LISTWISE BM25 distillation: with weight w > 0 each step also emits a
     # [B, B] soft target matrix (1-w)·I + w·softmax(S/τ) where S is the
     # corpus-CSR BM25 score of every query crop against every passage

@@ -165,7 +165,8 @@ def test_ict_pretraining_learns_and_roundtrips(tmp_path):
     model, stats = pretrain_encoder(
         texts,
         enc_cfg=SMALL,
-        pre_cfg=PretrainConfig(steps=30, batch_size=16, max_len=32),
+        pre_cfg=PretrainConfig(steps=30, batch_size=16, max_len=32,
+                               bm25_neighbor_prob=0.0, hard_batch_prob=0.0),
         train_cfg=TrainConfig(lr=3e-3),
         log_every=29,
     )
@@ -280,8 +281,9 @@ def test_pair_sampler_bm25_distill_modes():
     srcs = {next(t for t in texts if p in t or t in p or p == t) for p in ps2}
     assert len(qs2) == 8
 
-    # plain config reproduces the crop/ICT distribution (no sparse build)
-    cfg3 = PretrainConfig(batch_size=8, crop_prob=1.0)
+    # mining off reproduces the crop/ICT distribution (no sparse build)
+    cfg3 = PretrainConfig(batch_size=8, crop_prob=1.0,
+                          bm25_neighbor_prob=0.0, hard_batch_prob=0.0)
     s3 = PairSampler(texts, cfg3)
     assert s3._sparse is None
     qs3, ps3, _ = s3.sample(np.random.default_rng(2))
