@@ -1,0 +1,171 @@
+"""Label-free encoder recipe ablation (the experiment log behind
+docs/ENCODER_QUALITY.json and the PretrainConfig defaults).
+
+Measured on TPU v5e (hit@10 on eval/encoder_quality.build_dataset, 200
+held-out paraphrase queries; steps=5000 batch=64 seed=0 unless noted):
+
+  base5k          0.385   distill 0.5/0.5
+  strong5k        0.47    distill 0.8/1.0  <- the winner, now the default
+  long15k         -       (0.5/0.5 x3 steps; superseded by strong15k)
+  strong15k       0.455   0.8/1.0 x3 steps + warmup-cosine: no gain
+  idf5k           0.43    + idf-weighted chunk sampling: dilutes facts
+  idf5k_p2        -       (not run; power 1 already regressed)
+  selftrain*      0.325   stage-2 dense-teacher re-mining: REGRESSES
+
+Run one arm per process: the axon relay accumulates host buffers over
+~10k+ dispatches and a multi-arm process gets OOM-killed.  Arms save
+params to /tmp/enc_<arm>.npz; selftrain_from warm-starts from
+ENC_BASE (default /tmp/enc_idf5k.npz), ENC_STRONG=1 for the 0.8/1.0 mix.
+
+Usage: python scripts/encoder_ablation.py [arm ...]
+Writes incremental results to /tmp/enc_ablate.json.
+"""
+import json
+import sys
+
+import numpy as np
+
+from rag_challenge_2_tpu.eval.encoder_quality import build_dataset, eval_dense
+from rag_challenge_2_tpu.models.encoder import EncoderConfig
+from rag_challenge_2_tpu.models.pretrain import PretrainConfig, pretrain_encoder
+from rag_challenge_2_tpu.models.train import TrainConfig
+
+ds = build_dataset(seed=0)
+cfg = EncoderConfig(max_len=96)
+results = {}
+OUT = "/tmp/enc_ablate.json"
+
+which = set(sys.argv[1:]) or {"strong5k", "long15k", "selftrain"}
+
+
+def record(name, model, info):
+    from rag_challenge_2_tpu.models.pretrain import save_params
+    r = eval_dense(model.embed, ds)
+    results[name] = {**r, "final": info["final"]}
+    print(name, results[name], flush=True)
+    json.dump(results, open(OUT, "w"), indent=1)
+    save_params(model, f"/tmp/enc_{name}.npz")   # staged arms warm-start
+    return r
+
+
+base_model = None
+if "selftrain" in which or "base5k" in which:
+    base_model, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5))
+    record("base5k", base_model, info)
+
+if "strong5k" in which:
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0))
+    record("strong5k", m, info)
+
+if "long15k" in which:
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=15000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5),
+        train_cfg=TrainConfig(lr=3e-4, total_steps=15000))
+    record("long15k", m, info)
+
+if "selftrain" in which:
+    # teacher scores must align with PairSampler's filtered text list
+    min_span = 4
+    s_texts = [t for t in ds.chunk_texts if len(t) >= 2 * min_span]
+    assert len(s_texts) == len(ds.chunk_texts), "filter dropped chunks"
+    corpus_emb = np.asarray(base_model.embed(s_texts), np.float32)
+
+    def teacher(texts):
+        qe = np.asarray(base_model.embed(texts), np.float32)
+        return qe @ corpus_emb.T
+
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
+                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5),
+        teacher_score_fn=teacher,
+        init_params=base_model.params,
+    )
+    record("selftrain", m, info)
+if "strong15k" in which:
+    # strong5k measured 0.47 vs base5k 0.385: heavy mining wins.  3x steps
+    # + warmup-cosine on the winning mix.
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=15000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0),
+        train_cfg=TrainConfig(lr=3e-4, total_steps=15000))
+    record("strong15k", m, info)
+    base_model = m          # selftrain_strong stages on top of this
+
+if "selftrain_strong" in which:
+    min_span = 4
+    s_texts = [t for t in ds.chunk_texts if len(t) >= 2 * min_span]
+    assert len(s_texts) == len(ds.chunk_texts), "filter dropped chunks"
+    corpus_emb = np.asarray(base_model.embed(s_texts), np.float32)
+
+    def teacher(texts):
+        qe = np.asarray(base_model.embed(texts), np.float32)
+        return qe @ corpus_emb.T
+
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0),
+        train_cfg=TrainConfig(lr=1e-4, total_steps=5000),
+        teacher_score_fn=teacher,
+        init_params=base_model.params,
+    )
+    record("selftrain_strong", m, info)
+
+if "idf5k" in which:
+    # strong5k mix + idf-weighted chunk sampling power 1
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               idf_sampling=1.0))
+    record("idf5k", m, info)
+
+if "idf5k_p2" in which:
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               idf_sampling=2.0))
+    record("idf5k_p2", m, info)
+
+if "selftrain_from" in which:
+    # stage-2 self-training in a FRESH process (the in-process staged run
+    # accumulates host relay buffers and gets OOM-killed): warm-start +
+    # dense-teacher mining from the params saved by a previous arm
+    # (env ENC_BASE=/tmp/enc_<arm>.npz, ENC_STRONG=1 for the 0.8/1.0 mix).
+    import os
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel
+    from rag_challenge_2_tpu.models.pretrain import load_params
+
+    base_path = os.environ.get("ENC_BASE", "/tmp/enc_idf5k.npz")
+    strong = os.environ.get("ENC_STRONG", "1") == "1"
+    base_model = load_params(EmbeddingModel(cfg), base_path)
+    min_span = 4
+    s_texts = [t for t in ds.chunk_texts if len(t) >= 2 * min_span]
+    assert len(s_texts) == len(ds.chunk_texts)
+    corpus_emb = np.asarray(base_model.embed(s_texts), np.float32)
+
+    def teacher(texts):
+        qe = np.asarray(base_model.embed(texts), np.float32)
+        return qe @ corpus_emb.T
+
+    nbr, hard = (0.8, 1.0) if strong else (0.5, 0.5)
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
+                               bm25_neighbor_prob=nbr, hard_batch_prob=hard),
+        train_cfg=TrainConfig(lr=1e-4, total_steps=5000),
+        teacher_score_fn=teacher,
+        init_params=base_model.params,
+    )
+    record("selftrain_from", m, info)
