@@ -612,7 +612,12 @@ def bench_ivf_10m(extras, N=10_000_000, D=1024, C=500_000, N_CENTERS=4096):
     from rag_challenge_2_tpu.ops.pallas_bm25 import dma_slack
     from rag_challenge_2_tpu.retrieval.engine import SearchConfig, search_device
 
-    N_DOCS, Q_BATCH, T, V_BITS, W_P = 6, 4, 64, 18, 512
+    # Q_BATCH=8 matches bench_hybrid_at_scale's query batch: the probe
+    # path never scans the corpus, so unlike the exact-scan hybrid
+    # (Q_BATCH=4 to bound its [M·Q, W] windows) a bigger batch just
+    # amortizes the fixed per-dispatch cost (~2.5 ms through the relay —
+    # profiled sweep: QB 4/8/16/32 → 600/903/1182/1397 qps)
+    N_DOCS, Q_BATCH, T, V_BITS, W_P = 6, 8, 64, 18, 512
     V = 1 << V_BITS
     rng = np.random.default_rng(3)
     counts = rng.integers(1, W_P + 1, size=V).astype(np.int64)
