@@ -512,6 +512,17 @@ def ivf_search(
     window: static per-list gather width (defaults to the longest list).
     """
     B, D = q.shape
+    if win_start is not None and index.list_row_min is None and mask is None:
+        # silent fallthrough here would skip coarse eligibility entirely:
+        # a routed query could probe only clusters with zero eligible rows
+        # and return empty results.  Bounds are built by build_ivf /
+        # build_ivf_streaming; legacy sidecars without them must route by
+        # mask (or doc equality on cluster-ordered corpora).
+        raise ValueError(
+            "win_start routing requires IVFIndex.list_row_min/max "
+            "(absent on this index — a pre-bounds sidecar?); pass a "
+            "routing mask instead"
+        )
     W = int(window or max(index.max_list, 1))
     qf = q.astype(jnp.float32)
     int8_store = index.emb_perm.dtype == jnp.int8
@@ -563,6 +574,22 @@ def ivf_search(
 
     from ..ops.pallas_ivf import probe_fast_path_ok
 
+    if impl == "pallas":
+        # same contract as ops.bm25._pick_pallas: a FORCED kernel request
+        # on an index without the span-kernel layout guarantees would be
+        # a false alignment promise + out-of-bounds DMAs (silent wrong
+        # scores), and the kernel path has no [B, N] mask routing arm
+        if not probe_fast_path_ok(index, W):
+            raise ValueError(
+                "impl='pallas' requires the span-kernel layout contract "
+                "(aligned list starts + DMA slack — probe_fast_path_ok); "
+                "this index lacks it, use impl='xla'"
+            )
+        if mask is not None:
+            raise ValueError(
+                "impl='pallas' does not support mask routing; pass "
+                "win_start/win_len or pair_doc, or use impl='xla'"
+            )
     use_kernel = impl == "pallas" or (
         impl == "auto"
         and mask is None

@@ -258,7 +258,12 @@ class Pipeline:
             if ivf is not None:
                 engine.ivf = ivf
             else:
-                save_ivf(ivf_path, engine.build_ivf(), fingerprint=fp)
+                # when the IVF buffer will BECOME the store (cluster_order)
+                # it must keep the corpus's int8 budget — and the sidecar
+                # then persists int8, not a 4x f32 copy
+                quant = rc.cluster_order and idx.emb_scale is not None
+                save_ivf(ivf_path, engine.build_ivf(quantize=quant or None),
+                         fingerprint=fp)
             if rc.cluster_order:
                 # probe-served layout: the flat store is dropped after the
                 # permute — the IVF's list-ordered buffer is the corpus

@@ -263,7 +263,9 @@ def search_device(
                     ivf, q_pair, k, nprobe=cfg.ivf_nprobe,
                     pair_doc=pd, pos_doc=index.doc_id,
                 )
-            elif use_window:
+            elif use_window and ivf.list_row_min is not None:
+                # range routing needs the per-list row bounds; a legacy
+                # sidecar without them falls through to the mask mode
                 pw_s = jnp.tile(win_start, Q)
                 pw_l = jnp.where(
                     qv_rep & jnp.tile(doc_valid, Q), jnp.tile(win_len, Q), 0
@@ -437,6 +439,22 @@ class QueryEngine:
         self._company_np = np.asarray(index.company_id)
         self._valid_np = np.asarray(index.valid)
         self._page_np = np.asarray(index.page)
+        # per-DOC routing columns: company/year are constant within a doc,
+        # so routed_docs() runs route_core over [n_docs] arrays instead of
+        # per-row passes (tolist() over a 10M-row mask costs ~100 ms and
+        # the QA path sizes max_docs from the route before every search)
+        live_docs = set(np.unique(self._doc_ids_np[self._valid_np]).tolist())
+        self._doc_company_np = np.asarray([
+            meta.companies.index(d.company) if d.company in meta.companies
+            else -1 for d in meta.docs
+        ], np.int32)
+        self._doc_year_np = np.asarray(
+            [d.year if d.year is not None else -1 for d in meta.docs],
+            np.int32,
+        )
+        self._doc_valid_np = np.asarray(
+            [i in live_docs for i in range(len(meta.docs))], bool
+        )
         self._mask_cache: Dict[tuple, tuple] = {}
         # doc_masks mutates the cache (LRU refresh + eviction); concurrent
         # webapp sessions share one engine, so cache ops take this lock
@@ -515,12 +533,20 @@ class QueryEngine:
         (``build_kwargs`` forwarded to :meth:`build_ivf`).  The returned
         engine routes/queries identically; traversal runs unwindowed
         (docs are fragmented in cluster order)."""
-        from ..index.ivf import cluster_order_index
+        from ..index.ivf import cluster_order_index, quantize_ivf
 
         if self.ivf is None:
             self.build_ivf(**build_kwargs)
+        ivf = self.ivf
+        if self.index.emb_scale is not None and ivf.emb_perm.dtype != jnp.int8:
+            # the IVF buffer is about to BECOME the corpus: it must keep
+            # the int8 storage budget the corpus was quantized for (the
+            # f32-probe-over-int8-corpus trade in build_ivf only applies
+            # while both stores coexist).  Requantizing dequantized rows
+            # reproduces the original codes up to per-row rescale.
+            ivf = quantize_ivf(ivf)
         new_idx, new_meta, new_ivf = cluster_order_index(
-            self.index, self.meta, self.ivf
+            self.index, self.meta, ivf
         )
         return QueryEngine(new_idx, new_meta, ivf=new_ivf)
 
@@ -542,10 +568,10 @@ class QueryEngine:
         if company is not None and cid < 0:
             raise ValueError(f"No report found with '{company}' company name.")
         mask = route_core(
-            np, self._valid_np, self._company_np, self._year_np,
+            np, self._doc_valid_np, self._doc_company_np, self._doc_year_np,
             cid, selected_years,
         )
-        return sorted(set(self._doc_ids_np[mask].tolist()))
+        return np.flatnonzero(mask).tolist()
 
     def doc_masks(
         self, doc_ids: Sequence[int], max_docs: int

@@ -547,9 +547,11 @@ class QAWebApp:
         # through a real LLM would crawl sequentially (the reference
         # batches QA the same way, src/questions_processing.py:1120-1130);
         # `ask` already isolates per-request config/reranker state
-        workers = max(1, int(payload.get(
-            "parallel_requests", self.processor.config.parallel_requests
-        )))
+        try:  # a malformed optional knob must not discard the batch
+            workers = max(1, int(payload.get("parallel_requests") or 0))
+        except (TypeError, ValueError):
+            workers = 0
+        workers = workers or max(1, self.processor.config.parallel_requests)
         if workers == 1 or len(records) == 1:
             answered = [answer_one(r) for r in records]
         else:

@@ -447,3 +447,24 @@ def test_ragged_corpus_gates_windowed_pair_topk(rng):
         eng.window = saved
     assert [r["rep_row"] for r in res_w] == [r["rep_row"] for r in res_f]
     assert res_w[0]["rep_row"] == 17
+
+
+def test_cluster_order_preserves_int8_budget_by_default(engine, rng):
+    """cluster_order over an int8 corpus must keep the int8 storage budget
+    even when the prebuilt IVF is the (default) f32 probe store — the IVF
+    buffer is about to BECOME the corpus, so serving f32 would 4x the HBM
+    the corpus was quantized for (the scale10m preset's whole point)."""
+    from rag_challenge_2_tpu.index.store import quantize_index
+
+    eng, reports, embs = engine
+    idx8 = quantize_index(eng.index)
+    eng8 = QueryEngine(idx8, eng.meta)
+    eng8.build_ivf(n_clusters=4, iters=8)        # default: f32 probe store
+    assert eng8.ivf.emb_perm.dtype == np.float32
+    co = eng8.cluster_order()
+    assert co.index.emb.dtype == np.int8 and co.index.emb_scale is not None
+    q = _q_for(embs, 0, 5, rng)
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10,
+                       use_ivf=True, ivf_nprobe=4)
+    res = co.materialize(co.search(q, "金盘科技", cfg=cfg), cfg)
+    assert res and res[0]["text"].endswith("chunk5"), res[0]

@@ -391,3 +391,32 @@ def test_cluster_order_index_out_of_range_doc_id(rng):
     for b in range(2):
         got = rd[b][rd[b] >= 0]
         assert (doc_perm[got] == int(pair_doc[b])).all()
+
+
+def test_ivf_search_guards(rng):
+    """Unroutable / unsafe ivf_search requests raise instead of silently
+    skipping eligibility or forcing the kernel onto an unaligned layout."""
+    import dataclasses
+
+    import pytest
+
+    x, _ = _clustered_data(rng, n_clusters=4, per=64, d=32)
+    ivf = build_ivf(jnp.asarray(x), n_clusters=4, iters=4, max_list_size=128)
+    q = jnp.asarray(x[:2])
+    ws = jnp.asarray([0, 0], jnp.int32)
+    wl = jnp.asarray([64, 64], jnp.int32)
+
+    # legacy sidecar shape: no per-list row bounds -> win routing refused
+    legacy = dataclasses.replace(ivf, list_row_min=None, list_row_max=None)
+    with pytest.raises(ValueError, match="list_row_min"):
+        ivf_search(legacy, q, 5, nprobe=4, win_start=ws, win_len=wl)
+
+    # forced kernel without the layout contract -> refused
+    bare = dataclasses.replace(ivf, list_align=0, dma_pad_rows=0)
+    with pytest.raises(ValueError, match="layout contract"):
+        ivf_search(bare, q, 5, nprobe=4, impl="pallas")
+
+    # forced kernel with mask routing (no kernel arm for it) -> refused
+    mask = jnp.ones((ivf.emb_perm.shape[0],), bool)
+    with pytest.raises(ValueError, match="mask routing"):
+        ivf_search(ivf, q, 5, nprobe=4, mask=mask, impl="pallas")
