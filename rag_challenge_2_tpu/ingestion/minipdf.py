@@ -1,0 +1,520 @@
+"""Dependency-free PDF text extraction.
+
+The reference parses PDFs exclusively through docling (reference
+src/pdf_parsing.py:134-162) — a torch/layout-model stack that is optional
+in this framework.  This module gives ``parse-pdfs`` a built-in path for
+**digital-text PDFs** (the annual-report case: text layers produced by
+office/print pipelines) with zero dependencies:
+
+* object scavenging: every ``N G obj … endobj`` in the file is parsed
+  directly — no xref table/stream handling, so damaged or incrementally
+  updated files still extract; ``/Type /ObjStm`` object streams
+  (PDF 1.5+ compressed xref layouts) are unpacked the same way;
+* ``FlateDecode`` content streams (zlib), literal/hex strings with the
+  full escape set, ``Tj``/``TJ``/``'``/``"`` text operators with
+  line-break heuristics from ``Td``/``TD``/``T*``/``Tm``;
+* **CJK support**: ``/ToUnicode`` CMaps (``bfchar``/``bfrange``, array
+  and incrementing forms) decode CID-keyed ``/Type0`` fonts — the
+  encoding every digitally-produced Chinese PDF ships; simple fonts fall
+  back to Latin-1.
+
+Scanned/image-only PDFs need OCR and remain docling's job; tables come
+out as plain text lines (no structure recovery).  The page-text output
+feeds the same parsed-report contract as PlainTextParser.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple, Union
+
+Ref = Tuple[str, int]          # ("ref", object number)
+PdfObj = Union[dict, list, bytes, str, int, float, bool, None, Ref]
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer over raw PDF bytes (objects and content streams share
+    the same syntax for everything but operators)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                e = d.find(b"\n", self.pos)
+                self.pos = len(d) if e < 0 else e + 1
+            else:
+                return
+
+    def next_token(self):
+        """Returns one of: ('dict', {...}) ('array', [...]) ('name', str)
+        ('num', int|float) ('str', bytes) ('kw', bytes) or None at end."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            return ("dict", self._parse_dict())
+        if c == 0x3C:  # '<' hex string
+            return ("str", self._parse_hex_string())
+        if c == 0x28:  # '(' literal string
+            return ("str", self._parse_lit_string())
+        if c == 0x5B:  # '['
+            return ("array", self._parse_array())
+        if c == 0x2F:  # '/'
+            return ("name", self._parse_name())
+        if c == 0x5D:  # ']'
+            self.pos += 1
+            return ("kw", b"]")
+        if d.startswith(b">>", self.pos):
+            self.pos += 2
+            return ("kw", b">>")
+        # number or keyword/operator
+        m = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)").match(d, self.pos)
+        if m and m.start() == self.pos:
+            self.pos = m.end()
+            t = m.group()
+            return ("num", float(t) if b"." in t else int(t))
+        m = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+").match(d, self.pos)
+        if m:
+            self.pos = m.end()
+            return ("kw", m.group())
+        self.pos += 1  # lone delimiter; skip
+        return ("kw", d[self.pos - 1 : self.pos])
+
+    def _parse_name(self) -> str:
+        m = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)").match(
+            self.data, self.pos
+        )
+        self.pos = m.end()
+        raw = m.group(1)
+        # #XX hex escapes in names
+        return re.sub(
+            rb"#([0-9A-Fa-f]{2})", lambda g: bytes([int(g.group(1), 16)]), raw
+        ).decode("latin-1")
+
+    def _parse_lit_string(self) -> bytes:
+        d = self.data
+        i = self.pos + 1
+        depth, out = 1, bytearray()
+        while i < len(d):
+            c = d[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                if i >= len(d):
+                    break
+                e = d[i]
+                if e in b"nrtbf":
+                    out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                            0x62: b"\b", 0x66: b"\f"}[e]
+                    i += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    i += 1
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    j = i
+                    while j < len(d) and j - i < 3 and 0x30 <= d[j] <= 0x37:
+                        j += 1
+                    out.append(int(d[i:j], 8) & 0xFF)
+                    i = j
+                elif e in b"\r\n":  # line continuation
+                    i += 1
+                    if e == 0x0D and i < len(d) and d[i] == 0x0A:
+                        i += 1
+                else:
+                    out.append(e)
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        self.pos = i
+        return bytes(out)
+
+    def _parse_hex_string(self) -> bytes:
+        e = self.data.find(b">", self.pos)
+        if e < 0:
+            e = len(self.data)
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos + 1 : e])
+        self.pos = e + 1
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out: list = []
+        while True:
+            self._skip_ws()
+            if self.pos >= len(self.data):
+                break
+            if self.data[self.pos] == 0x5D:
+                self.pos += 1
+                break
+            out.append(self._parse_value())
+        return out
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                break
+            if self.pos >= len(self.data):
+                break
+            if self.data[self.pos] != 0x2F:  # malformed key; bail out
+                self.pos += 1
+                continue
+            key = self._parse_name()
+            out[key] = self._parse_value()
+        return out
+
+    def _parse_value(self) -> PdfObj:
+        tok = self.next_token()
+        if tok is None:
+            return None
+        kind, val = tok
+        if kind == "num" and isinstance(val, int):
+            # lookahead for "G R" (indirect reference)
+            save = self.pos
+            t2 = self.next_token()
+            if t2 and t2[0] == "num" and isinstance(t2[1], int):
+                t3 = self.next_token()
+                if t3 == ("kw", b"R"):
+                    return ("ref", val)
+                self.pos = save
+                return val
+            self.pos = save
+            return val
+        if kind == "kw":
+            if val == b"true":
+                return True
+            if val == b"false":
+                return False
+            if val == b"null":
+                return None
+            return ("kw", val)
+        return val
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+
+class _Document:
+    """Scavenged object table + helpers."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objects: Dict[int, PdfObj] = {}
+        self.streams: Dict[int, bytes] = {}
+        self._scavenge()
+
+    # -- object table -----------------------------------------------------
+    def _scavenge(self) -> None:
+        d = self.data
+        for m in _OBJ_RE.finditer(d):
+            num = int(m.group(1))
+            body_start = m.end()
+            end = d.find(b"endobj", body_start)
+            if end < 0:
+                end = len(d)
+            lex = _Lexer(d, body_start)
+            try:
+                val = lex._parse_value()
+            except Exception:
+                continue
+            self.objects[num] = val
+            sm = _STREAM_RE.search(d, lex.pos, end + 7)
+            if sm and isinstance(val, dict):
+                raw_end = d.find(b"endstream", sm.end())
+                if raw_end < 0:
+                    raw_end = end
+                raw = d[sm.end() : raw_end].rstrip(b"\r\n")
+                self.streams[num] = self._decode_stream(val, raw)
+        # unpack object streams (PDF 1.5 compressed objects)
+        for num, val in list(self.objects.items()):
+            if isinstance(val, dict) and val.get("Type") == "ObjStm":
+                self._unpack_objstm(val, self.streams.get(num, b""))
+
+    def _decode_stream(self, sdict: dict, raw: bytes) -> bytes:
+        filt = self.resolve(sdict.get("Filter"))
+        filters = filt if isinstance(filt, list) else [filt] if filt else []
+        out = raw
+        for f in filters:
+            name = f if isinstance(f, str) else None
+            if name == "FlateDecode":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error:
+                    try:  # tolerate trailing garbage
+                        out = zlib.decompressobj().decompress(out)
+                    except zlib.error:
+                        return b""
+            elif name in (None,):
+                continue
+            else:      # image/exotic filters: not text, skip
+                return b""
+        return out
+
+    def _unpack_objstm(self, sdict: dict, data: bytes) -> None:
+        try:
+            n = int(self.resolve(sdict.get("N")) or 0)
+            first = int(self.resolve(sdict.get("First")) or 0)
+        except (TypeError, ValueError):
+            return
+        head = data[:first].split()
+        for i in range(n):
+            try:
+                num = int(head[2 * i])
+                off = int(head[2 * i + 1])
+            except (IndexError, ValueError):
+                return
+            if num in self.objects:
+                continue
+            lex = _Lexer(data, first + off)
+            try:
+                self.objects[num] = lex._parse_value()
+            except Exception:
+                continue
+
+    def resolve(self, obj: PdfObj, depth: int = 0) -> PdfObj:
+        while (
+            isinstance(obj, tuple) and len(obj) == 2 and obj[0] == "ref"
+            and depth < 32
+        ):
+            obj = self.objects.get(obj[1])
+            depth += 1
+        return obj
+
+    # -- page tree ----------------------------------------------------------
+    def page_objects(self) -> List[dict]:
+        """Pages in tree order when the catalog resolves, else file order."""
+        catalog = next(
+            (v for v in self.objects.values()
+             if isinstance(v, dict) and v.get("Type") == "Catalog"),
+            None,
+        )
+        pages: List[dict] = []
+        if catalog is not None:
+            seen: set = set()
+
+            def walk(node: PdfObj) -> None:
+                node = self.resolve(node)
+                if not isinstance(node, dict) or id(node) in seen:
+                    return
+                seen.add(id(node))
+                t = node.get("Type")
+                if t == "Page":
+                    pages.append(node)
+                else:
+                    for kid in self.resolve(node.get("Kids")) or []:
+                        walk(kid)
+
+            walk(catalog.get("Pages"))
+        if not pages:
+            pages = [
+                v for _, v in sorted(self.objects.items())
+                if isinstance(v, dict) and v.get("Type") == "Page"
+            ]
+        return pages
+
+    def content_bytes(self, page: dict) -> bytes:
+        c = page.get("Contents")
+        refs = c if isinstance(c, list) else [c]
+        out = []
+        for r in refs:
+            if isinstance(r, tuple) and r[0] == "ref":
+                out.append(self.streams.get(r[1], b""))
+        return b"\n".join(out)
+
+
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16(hx: bytes) -> str:
+    b = bytes.fromhex(hx.decode("ascii"))
+    if len(b) % 2:
+        b += b"\x00"
+    return b.decode("utf-16-be", errors="ignore")
+
+
+class _Font:
+    """Per-font string decoder: ToUnicode CMap when present (2-byte codes
+    for /Type0 composite fonts, 1-byte otherwise), Latin-1 fallback."""
+
+    def __init__(self, doc: _Document, fd: dict):
+        self.two_byte = fd.get("Subtype") == "Type0"
+        self.cmap: Optional[Dict[int, str]] = None
+        tu = fd.get("ToUnicode")
+        if isinstance(tu, tuple) and tu[0] == "ref":
+            data = doc.streams.get(tu[1])
+            if data:
+                self.cmap = self._parse_cmap(data)
+
+    @staticmethod
+    def _parse_cmap(data: bytes) -> Dict[int, str]:
+        out: Dict[int, str] = {}
+        for block in _BFCHAR_RE.findall(data):
+            hexes = _HEX_RE.findall(block)
+            for i in range(0, len(hexes) - 1, 2):
+                out[int(hexes[i], 16)] = _utf16(hexes[i + 1])
+        for block in _BFRANGE_RE.findall(data):
+            # two forms: <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+            lex = _Lexer(block)
+            while True:
+                t = lex.next_token()
+                if t is None:
+                    break
+                if t[0] != "str":
+                    continue
+                lo = int.from_bytes(t[1], "big")
+                t2 = lex.next_token()
+                if not t2 or t2[0] != "str":
+                    continue
+                hi = int.from_bytes(t2[1], "big")
+                t3 = lex.next_token()
+                if t3 and t3[0] == "array":
+                    for k, dst in enumerate(t3[1]):
+                        if isinstance(dst, bytes) and lo + k <= hi:
+                            out[lo + k] = dst.decode(
+                                "utf-16-be", errors="ignore")
+                elif t3 and t3[0] == "str":
+                    base = int.from_bytes(t3[1], "big")
+                    width = max(len(t3[1]), 2)
+                    for code in range(lo, hi + 1):
+                        out[code] = (base + code - lo).to_bytes(
+                            width, "big").decode("utf-16-be", errors="ignore")
+        return out
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            step = 2 if self.two_byte else 1
+            chars = []
+            for i in range(0, len(raw) - step + 1, step):
+                code = int.from_bytes(raw[i : i + step], "big")
+                chars.append(self.cmap.get(code, ""))
+            return "".join(chars)
+        return raw.decode("latin-1", errors="ignore")
+
+
+_DEFAULT_FONT = _Font.__new__(_Font)
+_DEFAULT_FONT.cmap = None
+_DEFAULT_FONT.two_byte = False
+
+
+def _fonts_of(doc: _Document, resources: Optional[dict]) -> Dict[str, _Font]:
+    fonts = doc.resolve((resources or {}).get("Font")) or {}
+    out = {}
+    for name, ref in fonts.items():
+        fd = doc.resolve(ref)
+        if isinstance(fd, dict):
+            out[name] = _Font(doc, fd)
+    return out
+
+
+def _page_text(doc: _Document, page: dict) -> str:
+    """Interpret the page's content stream text operators."""
+    lines: List[str] = [""]
+
+    def emit(s: str) -> None:
+        lines[-1] += s
+
+    def newline() -> None:
+        if lines[-1]:
+            lines.append("")
+
+    def run(content: bytes, resources: Optional[dict], depth: int) -> None:
+        fonts = _fonts_of(doc, resources)
+        xobjs = doc.resolve((resources or {}).get("XObject")) or {}
+        lex = _Lexer(content)
+        font = _DEFAULT_FONT
+        stack: List = []
+        cur_y: Optional[float] = None
+        while True:
+            tok = lex.next_token()
+            if tok is None:
+                break
+            kind, val = tok
+            if kind != "kw":
+                stack.append((kind, val))
+                continue
+            op = val
+            if op == b"Tf" and len(stack) >= 2 and stack[-2][0] == "name":
+                font = fonts.get(stack[-2][1], _DEFAULT_FONT)
+            elif op == b"Tj" and stack and stack[-1][0] == "str":
+                emit(font.decode(stack[-1][1]))
+            elif op in (b"'", b'"'):
+                newline()
+                strs = [v for k, v in stack if k == "str"]
+                if strs:
+                    emit(font.decode(strs[-1]))
+            elif op == b"TJ" and stack and stack[-1][0] == "array":
+                for el in stack[-1][1]:
+                    if isinstance(el, bytes):
+                        emit(font.decode(el))
+                    elif isinstance(el, (int, float)) and el < -180:
+                        emit(" ")          # large kern ≈ word gap
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                ty = stack[-1][1] if stack[-1][0] == "num" else 0
+                if ty != 0:
+                    newline()
+            elif op == b"T*":
+                newline()
+            elif op == b"Tm" and len(stack) >= 6:
+                y = stack[-1][1] if stack[-1][0] == "num" else None
+                if cur_y is not None and y is not None and y != cur_y:
+                    newline()
+                cur_y = y
+            elif op == b"BT":
+                cur_y = None
+            elif op == b"ET":
+                newline()
+            elif op == b"Do" and stack and stack[-1][0] == "name" and depth < 8:
+                # Form XObjects wrap whole pages in print pipelines —
+                # recurse with the form's OWN resources (images skip)
+                ref = xobjs.get(stack[-1][1])
+                if isinstance(ref, tuple) and ref[0] == "ref":
+                    xd = doc.resolve(ref)
+                    body = doc.streams.get(ref[1])
+                    if (isinstance(xd, dict) and body
+                            and xd.get("Subtype") == "Form"):
+                        run(body, doc.resolve(xd.get("Resources")),
+                            depth + 1)
+            stack.clear()
+
+    run(doc.content_bytes(page), doc.resolve(page.get("Resources")), 0)
+    return "\n".join(ln.rstrip() for ln in lines).strip("\n")
+
+
+def extract_pdf_pages(data: bytes) -> List[str]:
+    """Page texts of a digital-text PDF (see module docstring for scope)."""
+    doc = _Document(data)
+    return [_page_text(doc, p) for p in doc.page_objects()]

@@ -10,8 +10,10 @@ sources:
 
   * :class:`DoclingParser` — the full pipeline when docling is installed
     (layout models, OCR options, GPU detection are docling's own);
-  * :class:`PlainTextParser` — ``.txt`` files with form-feed page breaks,
-    for corpora already extracted elsewhere;
+  * :class:`PlainTextParser` — the built-in fallback: ``.txt`` files with
+    form-feed page breaks, and digital-text ``.pdf`` files through the
+    dependency-free extractor in :mod:`.minipdf` (FlateDecode + ToUnicode
+    CMaps, so CJK annual reports extract without docling);
   * pre-parsed JSON is consumed directly by downstream stages.
 
 All emit the same parsed-report JSON the merger/splitter consume.
@@ -54,16 +56,24 @@ def normalize_page_sequence(pages: List[Dict]) -> List[Dict]:
 
 
 class PlainTextParser:
-    """``.txt`` per document, ``\\f`` (form feed) separating pages."""
+    """The built-in (docling-free) parser: ``.txt`` per document with ``\\f``
+    (form feed) page breaks, and — via :mod:`.minipdf` — digital-text
+    ``.pdf`` files (FlateDecode streams, ToUnicode CMaps for CJK; scanned
+    PDFs still need docling's OCR)."""
 
     def __init__(self, output_dir: Path, metadata_path: Optional[Path] = None):
         self.output_dir = Path(output_dir)
         self.metadata = pd.read_csv(metadata_path) if metadata_path else None
 
     def parse_file(self, path: Path) -> Dict:
-        text = Path(path).read_text(encoding="utf-8")
+        if Path(path).suffix.lower() == ".pdf":
+            from .minipdf import extract_pdf_pages
+
+            page_texts = extract_pdf_pages(Path(path).read_bytes())
+        else:
+            page_texts = Path(path).read_text(encoding="utf-8").split("\f")
         pages = []
-        for i, page_text in enumerate(text.split("\f")):
+        for i, page_text in enumerate(page_texts):
             blocks = [
                 {"type": "text", "text": para.strip()}
                 for para in page_text.split("\n\n")

@@ -383,3 +383,69 @@ def test_add_reports_dequantizes_int8_store(rng):
     # all rows unit-norm-ish, not code-magnitude (~127)
     norms = np.linalg.norm(np.asarray(idx2.emb[:3]), axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=5e-2)
+
+
+def _build_test_pdf() -> bytes:
+    """Hand-assemble a 2-page digital-text PDF: page 1 plain ASCII
+    (uncompressed stream, Tj + TJ with word-gap kerning + escapes),
+    page 2 a Flate-compressed stream using a /Type0 font whose ToUnicode
+    CMap (bfchar + incrementing bfrange) decodes 2-byte CIDs to Chinese."""
+    import zlib
+
+    c1 = (b"BT /F1 12 Tf 72 720 Td (Annual \\(Report\\) 2024) Tj "
+          b"0 -20 Td [(Revenue:) -250 (68.9)] TJ ET")
+    cmap = (b"begincmap\n2 beginbfchar\n<0001> <8425>\n<0002> <6536>\n"
+            b"endbfchar\n1 beginbfrange\n<0003> <0004> <5165>\nendbfrange\n"
+            b"endcmap")
+    c2_raw = b"BT /F2 12 Tf 72 720 Td <00010002> Tj T* <0003> Tj ET"
+    c2 = zlib.compress(c2_raw)
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 7 0 R >> >> >>"),
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+        5: (b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
+            b"/Resources << /Font << /F2 8 0 R >> >> >>"),
+        6: (b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(c2), c2)),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        8: b"<< /Type /Font /Subtype /Type0 /BaseFont /X /ToUnicode 9 0 R >>",
+        9: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    }
+    body = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n%s\nendobj\n" % (n, objs[n]) for n in sorted(objs)
+    )
+    return body + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+
+
+def test_minipdf_extracts_ascii_and_cjk(tmp_path):
+    from rag_challenge_2_tpu.ingestion.minipdf import extract_pdf_pages
+
+    pages = extract_pdf_pages(_build_test_pdf())
+    assert len(pages) == 2
+    assert "Annual (Report) 2024" in pages[0]
+    assert "Revenue: 68.9" in pages[0]          # TJ kern -250 -> word gap
+    lines = pages[1].split("\n")
+    assert lines[0] == "营收"            # 营收 via bfchar
+    assert lines[1] == "入"                  # 入 via bfrange (T* newline)
+
+
+def test_plain_text_parser_handles_pdf(tmp_path):
+    """The built-in parser routes .pdf through minipdf into the same
+    parsed-report contract as .txt (reference src/pdf_parsing.py output)."""
+    from rag_challenge_2_tpu.ingestion.pdf import PlainTextParser
+
+    pdf_path = tmp_path / "J2024_demo.pdf"
+    pdf_path.write_bytes(_build_test_pdf())
+    out_dir = tmp_path / "parsed"
+    parser = PlainTextParser(out_dir)
+    parser.parse_and_export([pdf_path])
+    report = json.loads((out_dir / "J2024_demo.json").read_text("utf-8"))
+    assert report["metainfo"]["sha1_name"] == "J2024_demo"
+    assert len(report["content"]) == 2
+    texts = [b["text"] for b in report["content"][0]["content"]]
+    assert any("Revenue: 68.9" in t for t in texts)
+    texts2 = [b["text"] for b in report["content"][1]["content"]]
+    assert any("营收" in t for t in texts2)
