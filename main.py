@@ -51,10 +51,15 @@ def download_models():
 @click.option("--parallel/--sequential", default=False, show_default=True)
 @click.option("--chunk-size", default=2, show_default=True)
 @click.option("--max-workers", default=10, show_default=True)
-def parse_pdfs(root, config, parallel, chunk_size, max_workers):
+@click.option("--parser", default="auto", show_default=True,
+              type=click.Choice(["auto", "docling", "builtin"]),
+              help="auto = docling when installed, else the built-in "
+                   "parser (.txt + digital-text .pdf via minipdf)")
+def parse_pdfs(root, config, parallel, chunk_size, max_workers, parser):
     """PDF/TXT reports → parsed-report JSONs."""
     _pipeline(root, config).parse_pdf_reports(
-        parallel=parallel, chunk_size=chunk_size, max_workers=max_workers
+        parallel=parallel, chunk_size=chunk_size, max_workers=max_workers,
+        parser=parser,
     )
     click.echo("parsed")
 
