@@ -25,6 +25,7 @@ Two pair constructions, mixed per example:
 from __future__ import annotations
 
 import dataclasses
+import re
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -79,6 +80,16 @@ class PretrainConfig:
     # keeps their relative weights.
     soft_target_weight: float = 0.0
     soft_target_temp: float = 2.0
+    # corpus-mined synonym substitution: real filings DEFINE their terms
+    # ("营业收入（亦称营收）指……") and those definitional sentences are the
+    # only label-free source of synonym knowledge in a corpus.  With this
+    # probability a query view has each known term replaced by one of its
+    # mined aliases (and vice versa) AFTER teacher mining, so InfoNCE
+    # aligns alias wording with term wording — the regime where lexical
+    # matching fails and an embedding model must carry the quality.
+    # Mining = mine_alias_pairs() over the training corpus itself; no
+    # labels, no external vocabulary.
+    alias_swap_prob: float = 0.0
     # inverse-document-frequency chunk sampling: source chunks are drawn
     # ∝ (mean idf of their unique terms)^idf_sampling instead of
     # uniformly.  Rare-vocabulary chunks — definitional/glossary text,
@@ -87,6 +98,37 @@ class PretrainConfig:
     # the pairs that teach synonymy; idf weighting oversamples them
     # without knowing anything about the eval.  0 = uniform.
     idf_sampling: float = 0.0
+
+
+# Chinese definitional patterns: "X（亦称Y）", "X（又称Y、Z）", half- or
+# full-width parens.  Terms are CJK/word runs; the alias group may list
+# several separated by 、/,/，.
+_ALIAS_RE = re.compile(
+    r"([A-Za-z0-9一-鿿]{2,16})"
+    r"[（(]\s*(?:亦称|又称|也称|或称|简称|别称)"
+    r"([A-Za-z0-9一-鿿、，,\s]{1,48}?)[)）]"
+)
+
+
+def mine_alias_pairs(texts: List[str]) -> List[Tuple[str, str]]:
+    """Mine (term, alias) synonym pairs from definitional sentences in the
+    corpus itself — the label-free path to synonym knowledge
+    (PretrainConfig.alias_swap_prob).  Returns deduplicated pairs in first-
+    seen order; every alias in a 、-separated list yields its own pair."""
+    seen = set()
+    pairs: List[Tuple[str, str]] = []
+    for t in texts:
+        for m in _ALIAS_RE.finditer(t):
+            term = m.group(1)
+            for alias in re.split(r"[、，,\s]+", m.group(2)):
+                alias = alias.strip()
+                if not alias or alias == term:
+                    continue
+                key = (term, alias)
+                if key not in seen:
+                    seen.add(key)
+                    pairs.append(key)
+    return pairs
 
 
 def ict_pairs(
@@ -178,6 +220,27 @@ class PairSampler:
         self._chunk_p = None
         if cfg.idf_sampling > 0:
             self._chunk_p = self._idf_weights(cfg)
+        self._alias_map: Dict[str, List[str]] = {}
+        self._alias_re: Optional[re.Pattern] = None
+        if cfg.alias_swap_prob > 0:
+            for term, alias in mine_alias_pairs(self.texts):
+                self._alias_map.setdefault(term, []).append(alias)
+                self._alias_map.setdefault(alias, []).append(term)
+            if self._alias_map:
+                # longest-first alternation so 归母净利润 wins over 净利润
+                keys = sorted(self._alias_map, key=len, reverse=True)
+                self._alias_re = re.compile(
+                    "|".join(re.escape(k) for k in keys))
+
+    def _alias_swap(self, text: str, rng: np.random.Generator) -> str:
+        """Replace each known term occurrence with a mined synonym."""
+        if self._alias_re is None:
+            return text
+        return self._alias_re.sub(
+            lambda m: (lambda al: al[int(rng.integers(0, len(al)))])(
+                self._alias_map[m.group(0)]),
+            text,
+        )
 
     def _idf_weights(self, cfg: PretrainConfig) -> np.ndarray:
         """Per-chunk sampling distribution ∝ (mean unique-term idf)^power
@@ -289,6 +352,15 @@ class PairSampler:
             w = cfg.soft_target_weight
             targets = ((1.0 - w) * np.eye(B, dtype=np.float32)
                        + w * p.astype(np.float32))
+        # synonym substitution happens LAST: the teacher mined on the
+        # original (lexically matching) crop, the model trains on the
+        # alias wording — aligning alias ↔ term embeddings
+        if self._alias_re is not None:
+            queries = [
+                self._alias_swap(q, rng)
+                if rng.random() < cfg.alias_swap_prob else q
+                for q in queries
+            ]
         return queries, passages, targets
 
 

@@ -63,6 +63,17 @@ if "strong5k" in which:
                                bm25_neighbor_prob=0.8, hard_batch_prob=1.0))
     record("strong5k", m, info)
 
+for arm, p in (("alias5k_p3", 0.3), ("alias5k_p5", 0.5), ("alias5k_p8", 0.8)):
+    if arm in which:
+        # strong distill + corpus-mined synonym substitution on the query
+        # view (mine_alias_pairs over the training corpus — label-free)
+        m, info = pretrain_encoder(
+            ds.chunk_texts, enc_cfg=cfg,
+            pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
+                                   bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                                   alias_swap_prob=p))
+        record(arm, m, info)
+
 if "long15k" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,

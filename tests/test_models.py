@@ -472,3 +472,50 @@ def test_pair_sampler_idf_sampling_oversamples_rare_vocab():
     s0 = PairSampler(texts, PretrainConfig(batch_size=16, crop_prob=1.0,
                                            min_span=6))
     assert s0._chunk_p is None
+
+
+def test_mine_alias_pairs_and_query_swap():
+    """Corpus-mined synonym substitution (PretrainConfig.alias_swap_prob):
+    definitional sentences yield (term, alias) pairs; the sampler swaps
+    terms in the QUERY view only, after teacher mining."""
+    from rag_challenge_2_tpu.models.pretrain import (
+        PairSampler, PretrainConfig, mine_alias_pairs)
+
+    corpus = [
+        "注：营业收入（亦称营收、销售收入）指报告期相关口径的指标。",
+        "注：归母净利润（又称归属股东的净利润）指相关财务指标。",
+        "公司2023年营业收入为12.5亿元，较上年同期增长。",
+        "公司2023年归母净利润为3.2亿元，较上年同期增长。",
+        "无定义句的普通语句，仅用于凑数并保证语料多样性。",
+    ]
+    pairs = mine_alias_pairs(corpus)
+    assert ("营业收入", "营收") in pairs
+    assert ("营业收入", "销售收入") in pairs
+    assert ("归母净利润", "归属股东的净利润") in pairs
+    # longest-first: the swap must treat 归母净利润 atomically, never
+    # rewrite its 净利润 suffix via a shorter key
+    cfg = PretrainConfig(batch_size=8, crop_prob=1.0, min_span=4,
+                         bm25_neighbor_prob=0.0, hard_batch_prob=0.0,
+                         alias_swap_prob=1.0)
+    s = PairSampler(corpus, cfg)
+    rng = np.random.default_rng(0)
+    out = s._alias_swap("查询2023年归母净利润和营业收入数据", rng)
+    # 归母净利润 was treated atomically (replaced by its own alias, not a
+    # partial rewrite of its 净利润 suffix via a shorter key)
+    assert "归母" not in out
+    assert "归属股东的净利润" in out
+    assert "营业收入" not in out
+    # prob 0 disables all machinery
+    s0 = PairSampler(corpus, PretrainConfig(batch_size=8, crop_prob=1.0,
+                                            min_span=4,
+                                            bm25_neighbor_prob=0.0,
+                                            hard_batch_prob=0.0))
+    assert s0._alias_re is None
+
+    # end-to-end: with swap prob 1 the sampled queries contain alias
+    # wording for chunks whose crop covered a defined term
+    rng = np.random.default_rng(1)
+    qs, ps, _ = s.sample(rng)
+    assert len(qs) == len(ps) == 8
+    joined = "".join(qs)
+    assert "营收" in joined or "销售收入" in joined or "归属股东的净利润" in joined
