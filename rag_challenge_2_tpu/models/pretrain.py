@@ -90,6 +90,14 @@ class PretrainConfig:
     # Mining = mine_alias_pairs() over the training corpus itself; no
     # labels, no external vocabulary.
     alias_swap_prob: float = 0.0
+    # doc2query-style question wrapping: serving queries are QUESTIONS
+    # while corpus crops are declarative statements — a distribution gap
+    # ICT/crops never bridge.  With this probability the query view is
+    # wrapped in a generic interrogative frame (static templates — the
+    # degenerate no-generator form of doc2query), so InfoNCE aligns
+    # question-shaped text with statement-shaped passages.  Label-free:
+    # the frames carry no corpus or eval knowledge.
+    question_wrap_prob: float = 0.0
     # inverse-document-frequency chunk sampling: source chunks are drawn
     # ∝ (mean idf of their unique terms)^idf_sampling instead of
     # uniformly.  Rare-vocabulary chunks — definitional/glossary text,
@@ -99,6 +107,19 @@ class PretrainConfig:
     # without knowing anything about the eval.  0 = uniform.
     idf_sampling: float = 0.0
 
+
+# Generic interrogative frames for PretrainConfig.question_wrap_prob.
+# Deliberately worded UNLIKE eval/encoder_quality._QUERY_TEMPLATES (no
+# 是多少/什么水平/情况如何/查询…数据) so the lever stays label-free: the
+# frames teach question-shape invariance, not the eval's phrasing.
+_QUESTION_FRAMES = [
+    "请告诉我{}",
+    "想了解一下{}",
+    "{}？",
+    "关于{}的问题",
+    "能否说明{}",
+    "帮我看看{}",
+]
 
 # Chinese definitional patterns: "X（亦称Y）", "X（又称Y、Z）", half- or
 # full-width parens.  Terms are CJK/word runs; the alias group may list
@@ -359,6 +380,16 @@ class PairSampler:
             queries = [
                 self._alias_swap(q, rng)
                 if rng.random() < cfg.alias_swap_prob else q
+                for q in queries
+            ]
+        # question wrapping likewise happens AFTER mining: the teacher
+        # scored the raw (statement-shaped) crop, the model trains on the
+        # interrogative framing — statement ↔ question alignment
+        if cfg.question_wrap_prob > 0:
+            queries = [
+                _QUESTION_FRAMES[int(rng.integers(0, len(_QUESTION_FRAMES)))]
+                .format(q)
+                if rng.random() < cfg.question_wrap_prob else q
                 for q in queries
             ]
         return queries, passages, targets

@@ -74,6 +74,18 @@ for arm, p in (("alias5k_p3", 0.3), ("alias5k_p5", 0.5), ("alias5k_p8", 0.8)):
                                    alias_swap_prob=p))
         record(arm, m, info)
 
+for arm, qp, ap in (("qw5k_p5", 0.5, 0.0), ("alias5k_p5_qw5", 0.5, 0.5)):
+    if arm in which:
+        # + doc2query-style question wrapping of the query view (generic
+        # interrogative frames, label-free) — alone and on top of the
+        # alias-swap winner
+        m, info = pretrain_encoder(
+            ds.chunk_texts, enc_cfg=cfg,
+            pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
+                                   bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                                   alias_swap_prob=ap, question_wrap_prob=qp))
+        record(arm, m, info)
+
 if "long15k" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,

@@ -519,3 +519,37 @@ def test_mine_alias_pairs_and_query_swap():
     assert len(qs) == len(ps) == 8
     joined = "".join(qs)
     assert "营收" in joined or "销售收入" in joined or "归属股东的净利润" in joined
+
+
+def test_question_wrap_query_view():
+    """doc2query-style question wrapping (PretrainConfig.question_wrap_prob):
+    the QUERY view gains a generic interrogative frame after mining; the
+    passage view is untouched; prob 0 is a no-op."""
+    from rag_challenge_2_tpu.models.pretrain import (
+        _QUESTION_FRAMES, PairSampler, PretrainConfig)
+
+    corpus = [
+        "公司2023年营业收入为12.5亿元，较上年同期增长。",
+        "公司2023年归母净利润为3.2亿元，较上年同期增长。",
+        "报告期内研发费用为1.1亿元，主要投向储能系统。",
+        "无定义句的普通语句，仅用于凑数并保证语料多样性。",
+    ]
+    cfg = PretrainConfig(batch_size=8, crop_prob=1.0, min_span=4,
+                         bm25_neighbor_prob=0.0, hard_batch_prob=0.0,
+                         question_wrap_prob=1.0)
+    s = PairSampler(corpus, cfg)
+    rng = np.random.default_rng(0)
+    qs, ps, _ = s.sample(rng)
+    prefixes = tuple(f.split("{}")[0] for f in _QUESTION_FRAMES if
+                     f.split("{}")[0])
+    for q in qs:
+        assert q.startswith(prefixes) or q.endswith(("？", "的问题"))
+    # passages stay statement-shaped (crops of the corpus text)
+    for p in ps:
+        assert not p.startswith(prefixes)
+    # prob 0: queries are raw crops
+    s0 = PairSampler(corpus, PretrainConfig(
+        batch_size=8, crop_prob=1.0, min_span=4,
+        bm25_neighbor_prob=0.0, hard_batch_prob=0.0))
+    qs0, _, _ = s0.sample(np.random.default_rng(0))
+    assert not any(q.startswith(prefixes) for q in qs0)
