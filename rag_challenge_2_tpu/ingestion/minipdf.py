@@ -231,11 +231,21 @@ class _Document:
         self.data = data
         self.objects: Dict[int, PdfObj] = {}
         self.streams: Dict[int, bytes] = {}
+        self._fonts: Dict[int, "_Font"] = {}
         self._scavenge()
+        # strings/streams of an encrypted file are ciphertext — extraction
+        # would emit garbage, so surface it instead (trailer /Encrypt key,
+        # classic or xref-stream layout)
+        self.encrypted = any(
+            isinstance(v, dict) and "Encrypt" in v
+            and v.get("Type") in (None, "XRef")
+            for v in self.objects.values()
+        ) or bool(re.search(rb"trailer\b[^>]{0,512}?/Encrypt\b", data, re.S))
 
     # -- object table -----------------------------------------------------
     def _scavenge(self) -> None:
         d = self.data
+        pending: List[Tuple[int, dict, bytes]] = []
         for m in _OBJ_RE.finditer(d):
             num = int(m.group(1))
             body_start = m.end()
@@ -253,8 +263,14 @@ class _Document:
                 raw_end = d.find(b"endstream", sm.end())
                 if raw_end < 0:
                     raw_end = end
-                raw = d[sm.end() : raw_end].rstrip(b"\r\n")
-                self.streams[num] = self._decode_stream(val, raw)
+                pending.append((num, val, d[sm.end() : raw_end].rstrip(b"\r\n")))
+        # decode AFTER the object table is complete so /Filter and /Subtype
+        # entries that are indirect references resolve correctly
+        for num, val, raw in pending:
+            if self.resolve(val.get("Subtype")) == "Image":
+                continue   # bitmap data, never read as text — don't
+                           # decompress it (10-100x inflation per image)
+            self.streams[num] = self._decode_stream(val, raw)
         # unpack object streams (PDF 1.5 compressed objects)
         for num, val in list(self.objects.items()):
             if isinstance(val, dict) and val.get("Type") == "ObjStm":
@@ -265,8 +281,8 @@ class _Document:
         filters = filt if isinstance(filt, list) else [filt] if filt else []
         out = raw
         for f in filters:
-            name = f if isinstance(f, str) else None
-            if name == "FlateDecode":
+            f = self.resolve(f)    # filter entries may be indirect refs
+            if f == "FlateDecode":
                 try:
                     out = zlib.decompress(out)
                 except zlib.error:
@@ -274,9 +290,8 @@ class _Document:
                         out = zlib.decompressobj().decompress(out)
                     except zlib.error:
                         return b""
-            elif name in (None,):
-                continue
-            else:      # image/exotic filters: not text, skip
+            else:      # image/exotic/unresolvable filters: not text —
+                       # never pass still-compressed bytes through
                 return b""
         return out
 
@@ -344,12 +359,32 @@ class _Document:
 
     def content_bytes(self, page: dict) -> bytes:
         c = page.get("Contents")
+        # /Contents may be an indirect reference TO an array of stream refs
+        # (common after incremental edits) — resolve before the list check
+        if isinstance(c, tuple) and c and c[0] == "ref":
+            target = self.objects.get(c[1])
+            if isinstance(target, list):
+                c = target
         refs = c if isinstance(c, list) else [c]
         out = []
         for r in refs:
             if isinstance(r, tuple) and r[0] == "ref":
                 out.append(self.streams.get(r[1], b""))
         return b"\n".join(out)
+
+    def page_resources(self, page: dict) -> Optional[dict]:
+        """/Resources with PDF-spec inheritance: absent on the page, walk
+        /Parent up the Pages tree (many generators put one shared dict on
+        the root Pages node)."""
+        node: PdfObj = page
+        for _ in range(32):
+            if not isinstance(node, dict):
+                return None
+            r = self.resolve(node.get("Resources"))
+            if isinstance(r, dict):
+                return r
+            node = self.resolve(node.get("Parent"))
+        return None
 
 
 _BFCHAR_RE = re.compile(
@@ -360,6 +395,8 @@ _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
 def _utf16(hx: bytes) -> str:
+    if len(hx) % 2:       # odd digit count in a malformed CMap entry
+        hx += b"0"
     b = bytes.fromhex(hx.decode("ascii"))
     if len(b) % 2:
         b += b"\x00"
@@ -377,7 +414,10 @@ class _Font:
         if isinstance(tu, tuple) and tu[0] == "ref":
             data = doc.streams.get(tu[1])
             if data:
-                self.cmap = self._parse_cmap(data)
+                try:
+                    self.cmap = self._parse_cmap(data)
+                except Exception:   # a broken CMap must not kill the
+                    self.cmap = None  # whole extraction (damaged-file scope)
 
     @staticmethod
     def _parse_cmap(data: bytes) -> Dict[int, str]:
@@ -410,8 +450,12 @@ class _Font:
                     base = int.from_bytes(t3[1], "big")
                     width = max(len(t3[1]), 2)
                     for code in range(lo, hi + 1):
-                        out[code] = (base + code - lo).to_bytes(
-                            width, "big").decode("utf-16-be", errors="ignore")
+                        v = base + code - lo
+                        # a malformed range may overflow the destination
+                        # width — widen rather than raise
+                        nb = max(width, -(-v.bit_length() // 8) or 1)
+                        out[code] = v.to_bytes(
+                            nb, "big").decode("utf-16-be", errors="ignore")
         return out
 
     def decode(self, raw: bytes) -> str:
@@ -434,6 +478,17 @@ def _fonts_of(doc: _Document, resources: Optional[dict]) -> Dict[str, _Font]:
     fonts = doc.resolve((resources or {}).get("Font")) or {}
     out = {}
     for name, ref in fonts.items():
+        # one CJK font (multi-thousand-entry CMap) is typically shared by
+        # every page — cache the parsed _Font by object number
+        if isinstance(ref, tuple) and ref and ref[0] == "ref":
+            cached = doc._fonts.get(ref[1])
+            if cached is None:
+                fd = doc.resolve(ref)
+                if not isinstance(fd, dict):
+                    continue
+                cached = doc._fonts[ref[1]] = _Font(doc, fd)
+            out[name] = cached
+            continue
         fd = doc.resolve(ref)
         if isinstance(fd, dict):
             out[name] = _Font(doc, fd)
@@ -497,6 +552,19 @@ def _page_text(doc: _Document, page: dict) -> str:
                 cur_y = None
             elif op == b"ET":
                 newline()
+            elif op == b"BI":
+                # inline image: tokenise the parameter dict up to ID, then
+                # raw-skip the binary payload to the EI marker — otherwise
+                # a '(' byte in the pixel data opens a phantom string that
+                # swallows real text operators
+                while True:
+                    t = lex.next_token()
+                    if t is None or t == ("kw", b"ID"):
+                        break
+                m = re.compile(
+                    rb"[\x00\t\n\x0c\r ]EI(?![0-9A-Za-z])"
+                ).search(lex.data, lex.pos)
+                lex.pos = len(lex.data) if m is None else m.end()
             elif op == b"Do" and stack and stack[-1][0] == "name" and depth < 8:
                 # Form XObjects wrap whole pages in print pipelines —
                 # recurse with the form's OWN resources (images skip)
@@ -510,11 +578,18 @@ def _page_text(doc: _Document, page: dict) -> str:
                             depth + 1)
             stack.clear()
 
-    run(doc.content_bytes(page), doc.resolve(page.get("Resources")), 0)
+    run(doc.content_bytes(page), doc.page_resources(page), 0)
     return "\n".join(ln.rstrip() for ln in lines).strip("\n")
 
 
 def extract_pdf_pages(data: bytes) -> List[str]:
-    """Page texts of a digital-text PDF (see module docstring for scope)."""
+    """Page texts of a digital-text PDF (see module docstring for scope).
+
+    Raises ``ValueError`` for encrypted files — their strings/streams are
+    ciphertext and would extract as garbage; callers should fall back to a
+    capable parser (docling) or surface the file to the user."""
     doc = _Document(data)
+    if doc.encrypted:
+        raise ValueError("encrypted PDF: built-in extraction would emit "
+                         "ciphertext; parse with docling or decrypt first")
     return [_page_text(doc, p) for p in doc.page_objects()]

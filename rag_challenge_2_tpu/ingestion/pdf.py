@@ -90,7 +90,24 @@ class PlainTextParser:
     def parse_and_export(self, input_paths: List[Path]) -> None:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         for p in input_paths:
-            report = self.parse_file(p)
+            try:
+                report = self.parse_file(p)
+            except Exception as e:
+                # one bad file (encrypted PDF, malformed bytes) must not
+                # kill the corpus parse — the reference likewise survives
+                # per-chunk failures (src/pdf_parsing.py:335-353)
+                print(f"[WARNING] failed to parse {p}: {e}; "
+                      "writing empty report")
+                try:
+                    metainfo = _metainfo_for(Path(p).stem, self.metadata)
+                except Exception:   # the fallback itself must not raise
+                    metainfo = {"sha1_name": Path(p).stem}
+                report = {
+                    "metainfo": metainfo,
+                    "content": [],
+                    "tables": [],
+                    "pictures": [],
+                }
             out = self.output_dir / f"{Path(p).stem}.json"
             with open(out, "w", encoding="utf-8") as f:
                 json.dump(report, f, ensure_ascii=False, indent=2)
@@ -382,6 +399,9 @@ class DoclingParser:
 
 
 def get_parser(output_dir: Path, metadata_path: Optional[Path] = None, kind: str = "auto"):
+    if kind not in ("auto", "docling", "builtin", "text"):
+        raise ValueError(f"unknown parser kind {kind!r} "
+                         "(expected auto/docling/builtin)")
     if kind == "docling" or (kind == "auto" and _docling_available()):
         return DoclingParser(output_dir, metadata_path)
     return PlainTextParser(output_dir, metadata_path)

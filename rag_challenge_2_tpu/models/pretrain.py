@@ -121,14 +121,24 @@ _QUESTION_FRAMES = [
     "帮我看看{}",
 ]
 
-# Chinese definitional patterns: "X（亦称Y）", "X（又称Y、Z）", half- or
-# full-width parens.  Terms are CJK/word runs; the alias group may list
-# several separated by 、/,/，.
+# Chinese definitional patterns: "X（亦称Y）", "X（又称Y、Z）",
+# "X（以下简称Y）", half- or full-width parens.  Terms are CJK/word runs;
+# the alias group may list several separated by 、/,/，.
 _ALIAS_RE = re.compile(
     r"([A-Za-z0-9一-鿿]{2,16})"
-    r"[（(]\s*(?:亦称|又称|也称|或称|简称|别称)"
+    r"[（(]\s*(?:以下)?(?:亦称|又称|也称|或称|简称|别称)"
     r"([A-Za-z0-9一-鿿、，,\s]{1,48}?)[)）]"
 )
+
+# The term group has no reliable left boundary in unsegmented Chinese, so
+# it can absorb preceding context ("本公司2023年营业收入（亦称营收）" mines
+# term 本公司2023年营业收入); strip possessive boilerplate and anything up
+# to a year/的 boundary.  Alias lists likewise capture appositive
+# boilerplate ("（亦称营收，下同）") — drop it, or the bidirectional swap
+# map would rewrite queries into junk.
+_TERM_PREFIX_RE = re.compile(
+    r"^(?:.*?20\d{2}年|.*?的|本公司|本集团|本行|该公司|即)")
+_JUNK_ALIASES = {"下同", "同上", "下文同", "以下同", "以下简称", "见下文"}
 
 
 def mine_alias_pairs(texts: List[str]) -> List[Tuple[str, str]]:
@@ -141,9 +151,17 @@ def mine_alias_pairs(texts: List[str]) -> List[Tuple[str, str]]:
     for t in texts:
         for m in _ALIAS_RE.finditer(t):
             term = m.group(1)
+            while True:      # strip context prefixes to a fixpoint
+                stripped = _TERM_PREFIX_RE.sub("", term, count=1)
+                if stripped == term:
+                    break
+                term = stripped
+            if len(term) < 2:
+                continue
             for alias in re.split(r"[、，,\s]+", m.group(2)):
                 alias = alias.strip()
-                if not alias or alias == term:
+                if (not alias or alias == term
+                        or alias in _JUNK_ALIASES or len(alias) < 2):
                     continue
                 key = (term, alias)
                 if key not in seen:

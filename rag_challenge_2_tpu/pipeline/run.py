@@ -131,9 +131,8 @@ class Pipeline:
     # ingestion stages (reference src/pipeline.py:204,145,153,162,171) --
     def parse_pdf_reports(self, parallel: bool = False, chunk_size: int = 2,
                           max_workers: int = 10, parser: str = "auto") -> None:
-        kind = {"builtin": "text"}.get(parser, parser)
         parser = get_parser(self.paths.parsed_reports_path,
-                            self.paths.subset_path, kind=kind)
+                            self.paths.subset_path, kind=parser)
         inputs = sorted(self.paths.pdf_reports_dir.glob("*"))
         inputs = [p for p in inputs if p.suffix.lower() in (".pdf", ".txt")]
         if parallel and hasattr(parser, "parse_and_export_parallel"):

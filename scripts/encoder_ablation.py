@@ -63,7 +63,8 @@ if "strong5k" in which:
                                bm25_neighbor_prob=0.8, hard_batch_prob=1.0))
     record("strong5k", m, info)
 
-for arm, p in (("alias5k_p3", 0.3), ("alias5k_p5", 0.5), ("alias5k_p8", 0.8)):
+for arm, p in (("alias5k_p3", 0.3), ("alias5k_p5", 0.5), ("alias5k_p8", 0.8),
+               ("alias5k_p10", 1.0)):
     if arm in which:
         # strong distill + corpus-mined synonym substitution on the query
         # view (mine_alias_pairs over the training corpus — label-free)
@@ -74,7 +75,8 @@ for arm, p in (("alias5k_p3", 0.3), ("alias5k_p5", 0.5), ("alias5k_p8", 0.8)):
                                    alias_swap_prob=p))
         record(arm, m, info)
 
-for arm, qp, ap in (("qw5k_p5", 0.5, 0.0), ("alias5k_p5_qw5", 0.5, 0.5)):
+for arm, qp, ap in (("qw5k_p5", 0.5, 0.0), ("alias5k_p5_qw5", 0.5, 0.5),
+                    ("alias5k_p8_qw5", 0.5, 0.8)):
     if arm in which:
         # + doc2query-style question wrapping of the query view (generic
         # interrogative frames, label-free) — alone and on top of the

@@ -449,3 +449,139 @@ def test_plain_text_parser_handles_pdf(tmp_path):
     assert any("Revenue: 68.9" in t for t in texts)
     texts2 = [b["text"] for b in report["content"][1]["content"]]
     assert any("营收" in t for t in texts2)
+
+
+def _wrap_pdf(objs: dict, trailer: bytes = b"trailer << /Root 1 0 R >>") -> bytes:
+    body = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n%s\nendobj\n" % (n, objs[n]) for n in sorted(objs)
+    )
+    return body + trailer + b"\n%%EOF\n"
+
+
+def test_minipdf_indirect_contents_array_and_inherited_resources():
+    """/Contents may be an indirect ref TO an array of stream refs, and
+    /Resources may live on the parent Pages node (PDF-spec inheritance) —
+    both silently lost text before."""
+    from rag_challenge_2_tpu.ingestion.minipdf import extract_pdf_pages
+
+    c1 = b"BT /F1 12 Tf 72 720 Td (part one) Tj ET"
+    c2 = b"BT /F1 12 Tf 72 700 Td (part two) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # shared Resources on the Pages node; the page has none of its own
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F1 7 0 R >> >> >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"[5 0 R 6 0 R]",
+        5: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+        6: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    pages = extract_pdf_pages(_wrap_pdf(objs))
+    assert len(pages) == 1
+    assert "part one" in pages[0] and "part two" in pages[0]
+
+
+def test_minipdf_malformed_cmap_is_tolerated():
+    """Odd-digit bfchar hex and an overflowing bfrange must not abort the
+    extraction (damaged-file scope): the page still extracts."""
+    from rag_challenge_2_tpu.ingestion.minipdf import extract_pdf_pages
+
+    cmap = (b"begincmap\n2 beginbfchar\n<0001> <123>\n<0002> <6536>\n"
+            b"endbfchar\n1 beginbfrange\n<00F0> <0100> <FFF0>\n"
+            b"endbfrange\nendcmap")
+    content = b"BT /F2 12 Tf 72 720 Td <0002> Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F2 8 0 R >> >> >>"),
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        8: b"<< /Type /Font /Subtype /Type0 /BaseFont /X /ToUnicode 9 0 R >>",
+        9: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    }
+    pages = extract_pdf_pages(_wrap_pdf(objs))
+    assert pages[0] == "收"             # <0002> still decodes via bfchar
+
+
+def test_minipdf_inline_image_does_not_swallow_text():
+    """BI…ID <binary> EI payloads are raw-skipped: a '(' byte in the pixel
+    data must not open a phantom string that eats later Tj operators."""
+    from rag_challenge_2_tpu.ingestion.minipdf import extract_pdf_pages
+
+    content = (b"BT /F1 12 Tf (before) Tj ET\n"
+               b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x28\xff\x00\xfe EI\n"
+               b"BT /F1 12 Tf (after) Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 7 0 R >> >> >>"),
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    pages = extract_pdf_pages(_wrap_pdf(objs))
+    assert "before" in pages[0] and "after" in pages[0]
+
+
+def test_minipdf_image_streams_not_decoded_and_indirect_filter():
+    """Image XObject payloads are never decompressed (memory), and a
+    /Filter given as an indirect ref resolves instead of passing
+    compressed bytes through as text."""
+    import zlib as _z
+    from rag_challenge_2_tpu.ingestion.minipdf import _Document
+
+    img = _z.compress(b"\x00" * 64)
+    c_raw = b"BT /F1 12 Tf (hello) Tj ET"
+    c = _z.compress(c_raw)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 7 0 R >> >> >>"),
+        # /Filter via indirect reference (object 10)
+        4: (b"<< /Length %d /Filter 10 0 R >>\nstream\n%s\nendstream"
+            % (len(c), c)),
+        5: (b"<< /Subtype /Image /Width 8 /Height 8 /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n%s\nendstream" % (len(img), img)),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        10: b"/FlateDecode",
+    }
+    doc = _Document(_wrap_pdf(objs))
+    assert 5 not in doc.streams              # image payload never decoded
+    assert doc.streams[4] == c_raw           # indirect filter resolved
+
+
+def test_minipdf_encrypted_raises_and_parser_survives(tmp_path):
+    """Encrypted PDFs raise (ciphertext would extract as garbage); the
+    built-in parser warns and writes an empty report instead of dying."""
+    import pytest
+    from rag_challenge_2_tpu.ingestion.minipdf import extract_pdf_pages
+    from rag_challenge_2_tpu.ingestion.pdf import PlainTextParser
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [] /Count 0 >>",
+    }
+    data = _wrap_pdf(
+        objs, trailer=b"trailer << /Root 1 0 R /Encrypt 9 0 R >>")
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_pages(data)
+
+    p = tmp_path / "J2024_enc.pdf"
+    p.write_bytes(data)
+    out_dir = tmp_path / "parsed"
+    PlainTextParser(out_dir).parse_and_export([p])
+    report = json.loads((out_dir / "J2024_enc.json").read_text("utf-8"))
+    assert report["content"] == [] and report["metainfo"]["sha1_name"] == "J2024_enc"
+
+
+def test_get_parser_kinds(tmp_path):
+    """builtin is a first-class kind; unknown kinds fail loudly instead of
+    silently picking the fallback parser."""
+    import pytest
+    from rag_challenge_2_tpu.ingestion.pdf import PlainTextParser, get_parser
+
+    assert isinstance(get_parser(tmp_path, kind="builtin"), PlainTextParser)
+    with pytest.raises(ValueError, match="unknown parser kind"):
+        get_parser(tmp_path, kind="pdfminer")

@@ -492,6 +492,17 @@ def test_mine_alias_pairs_and_query_swap():
     assert ("营业收入", "营收") in pairs
     assert ("营业收入", "销售收入") in pairs
     assert ("归母净利润", "归属股东的净利润") in pairs
+
+    # the term group has no left boundary in unsegmented Chinese: strip
+    # possessive boilerplate, drop appositive junk aliases, accept 以下简称
+    more = mine_alias_pairs([
+        "本公司经营活动现金流（亦称经营现金流，下同）保持稳定。",
+        "中兴通讯股份有限公司（以下简称中兴通讯）发布年报。",
+    ])
+    assert ("经营活动现金流", "经营现金流") in more
+    assert all(a != "下同" for _, a in more)
+    assert all(not t.startswith("本公司") for t, _ in more)
+    assert ("中兴通讯股份有限公司", "中兴通讯") in more
     # longest-first: the swap must treat 归母净利润 atomically, never
     # rewrite its 净利润 suffix via a shorter key
     cfg = PretrainConfig(batch_size=8, crop_prob=1.0, min_span=4,
