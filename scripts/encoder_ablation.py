@@ -75,6 +75,26 @@ for arm, p in (("alias5k_p3", 0.3), ("alias5k_p5", 0.5), ("alias5k_p8", 0.8),
                                    alias_swap_prob=p))
         record(arm, m, info)
 
+if "alias5k_p8_s1" in which:
+    # seed-robustness check on the p8 winner (0.73 at seed 0)
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.8))
+    record("alias5k_p8_s1", m, info)
+
+if "alias15k_p8" in which:
+    # 3x steps on the alias recipe: the earlier "15k = no gain" finding
+    # predates alias swap, which adds per-step view diversity
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=15000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.8),
+        train_cfg=TrainConfig(lr=3e-4, total_steps=15000))
+    record("alias15k_p8", m, info)
+
 for arm, qp, ap in (("qw5k_p5", 0.5, 0.0), ("alias5k_p5_qw5", 0.5, 0.5),
                     ("alias5k_p8_qw5", 0.5, 0.8)):
     if arm in which:
