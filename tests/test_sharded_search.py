@@ -102,3 +102,37 @@ def test_sharded_int8_matches_single_device():
     v1, r1 = int8_topk(jnp.asarray(q), emb8, sc, 10)
     np.testing.assert_allclose(np.asarray(vs), np.asarray(v1), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(rs), np.asarray(r1))
+
+
+@needs_devices
+@pytest.mark.parametrize("method", ["ssg", "triangulation", "hybrid_expansion"])
+def test_engine_traversal_on_row_sharded_index(tiny_corpus, method):
+    """Graph-traversal retrieval (anchor gathers + per-hop matvecs +
+    visited masks) returns bit-identical rows when the corpus embedding
+    matrix is row-sharded over the mesh — GSPMD inserts the collectives;
+    no traversal-specific sharding code exists or is needed."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+
+    idx, meta, reports, embs = tiny_corpus
+    eng_plain = QueryEngine(idx, meta)
+    q = embs[0][5][None, :].astype(np.float32)
+    cfg = SearchConfig(method=method, top_k=5, top_n=10, use_bm25=False)
+    base = eng_plain.materialize(
+        eng_plain.search(q, "金盘科技", cfg=cfg, query_texts=["营业收入"]), cfg)
+
+    mesh = make_mesh({"data": 8})
+    sharded_idx = dataclasses.replace(
+        idx,
+        emb=jax.device_put(idx.emb, NamedSharding(mesh, P("data", None))),
+        valid=jax.device_put(idx.valid, NamedSharding(mesh, P("data"))),
+    )
+    eng_sh = QueryEngine(sharded_idx, meta)
+    got = eng_sh.materialize(
+        eng_sh.search(q, "金盘科技", cfg=cfg, query_texts=["营业收入"]), cfg)
+    assert [r["rep_row"] for r in got] == [r["rep_row"] for r in base]
+    for a, b in zip(got, base):
+        assert abs(a["distance"] - b["distance"]) < 1e-4
