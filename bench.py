@@ -281,6 +281,39 @@ def bench_hybrid_at_scale(extras, N=1_500_000, D=1024, V_BITS=18, W=512):
     log(f"hybrid {N/1e6:g}M bf16 (dense+bm25+fusion, one graph): {hybrid_qps:.1f} qps, "
         f"dense bf16 recall@10 vs f32 exact = {r10:.4f}")
 
+    # cross-request micro-batching (serving/batcher.py): R same-route
+    # requests ride ONE vmapped dispatch (engine.search_many_device), so
+    # the corpus rows are read from HBM once per micro-batch instead of
+    # once per question — the concurrent-QA serving configuration
+    from rag_challenge_2_tpu.retrieval.engine import search_many_device
+
+    R = 4
+    q_many = jnp.stack(q_batches[:R])                       # [R, Q, D]
+    qv_many = jnp.broadcast_to(q_valid, (R, Q_BATCH))
+    qt_many = jnp.broadcast_to(q_terms, (R, Q_BATCH, T))
+    sync(q_many)
+
+    def many_call():
+        return search_many_device(
+            idx, q_many, qv_many, doc_masks, doc_valid, cfg, qt_many, None,
+            row_slot, ws, wl, window=per_doc, with_terms=True,
+        )
+
+    sync(many_call().score)  # compile + settle
+    reps_m = max(reps // R, 1)
+
+    def window_m():
+        out = None
+        for _ in range(reps_m):
+            out = many_call()
+        return out.score
+
+    mb_qps = best_qps(lambda: window_m(), R * Q_BATCH * reps_m, reps=1)
+    extras["hybrid_microbatch_qps"] = round(mb_qps, 1)
+    extras["hybrid_microbatch_r"] = R
+    log(f"hybrid micro-batch R={R} (one vmapped dispatch per {R} requests): "
+        f"{mb_qps:.1f} qps ({mb_qps / hybrid_qps:.2f}x unbatched)")
+
 
 def bench_int8_10m(extras, N=10_000_000, D=1024, C=500_000):
     """BASELINE config 5 at its FULL 10M-row target on ONE chip: the int8

@@ -9,6 +9,7 @@ parity; model weights here are the local encoder, nothing to download.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 
@@ -141,11 +142,16 @@ def bench():
 @click.option("--host", default="127.0.0.1", show_default=True)
 @click.option("--port", default=8899, show_default=True)
 @click.option("--company", default="金盘科技", show_default=True)
-def serve_cmd(root, config, host, port, company):
+@click.option("--micro-batch", default=0, show_default=True,
+              help="coalesce concurrent same-route searches into one "
+                   "vmapped device dispatch (0 = off)")
+def serve_cmd(root, config, host, port, company, micro_batch):
     """Launch the web QA frontend over the built index."""
     from rag_challenge_2_tpu.serving import serve
 
     p = _pipeline(root, config)
+    if micro_batch:
+        p.run_config = dataclasses.replace(p.run_config, micro_batch=micro_batch)
     serve(p.build_processor(), host=host, port=port, default_company=company)
 
 

@@ -60,6 +60,9 @@ class RunConfig:
     answer_schema: str = "jingpan"
     use_ivf: bool = False           # cluster the corpus at load, probe-search
     ivf_nprobe: int = 8
+    micro_batch: int = 0            # >0: coalesce concurrent same-route
+                                    # searches into one vmapped dispatch
+                                    # (serving/batcher.MicroBatcher)
     quantize_int8: bool = False     # int8 row store at load: 4× corpus per
                                     # HBM byte (index/store.quantize_index)
     scan_rt: Optional[float] = None  # fast large-corpus scan mode: fused
@@ -244,6 +247,7 @@ class Pipeline:
             ivf_nprobe=rc.ivf_nprobe,
             scan_rt=rc.scan_rt,
             parallel_requests=rc.parallel_requests,
+            micro_batch=rc.micro_batch,
             answering_model=rc.answering_model,
         )
         engine = QueryEngine(idx, meta)

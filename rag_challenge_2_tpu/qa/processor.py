@@ -63,6 +63,14 @@ class QAConfig:
                                      # PartialReduce at this recall target
                                      # (SearchConfig.scan_rt); None = exact
     parallel_requests: int = 1
+    # coalesce concurrent same-route searches into one vmapped device
+    # dispatch (serving/batcher.MicroBatcher over engine.search_many):
+    # the corpus scan is read from HBM once per micro-batch instead of
+    # once per question.  0 = off; >0 = max requests per dispatch.
+    # Methods that return observability details (ssg/triangulation/
+    # hybrid_expansion payloads) bypass the batcher — details are
+    # per-request device pytrees the batched graph does not carry.
+    micro_batch: int = 0
     answering_model: Optional[str] = None
     new_challenge_pipeline: bool = True
     use_year_routing: bool = False  # derive selected_years from the question
@@ -89,6 +97,11 @@ class QuestionsProcessor:
         self.llm = llm
         self.reranker = reranker
         self.config = config
+        self.batcher = None
+        if config.micro_batch > 0:
+            from ..serving.batcher import MicroBatcher
+
+            self.batcher = MicroBatcher(engine, max_batch=config.micro_batch)
         self.answer_details: List = []
         self._lock = threading.Lock()
         # (sha1, page) → page text, for adjacent/group page loading
@@ -440,10 +453,16 @@ class QuestionsProcessor:
         wants_details = cfg.retrieval_method in (
             "ssg", "triangulation", "hybrid_expansion"
         )
-        cands = self.engine.search(
-            q_embs, company, question, selected_years=selected_years, cfg=scfg,
-            query_texts=exp.queries, with_details=wants_details,
-        )
+        if self.batcher is not None and not wants_details:
+            cands = self.batcher.search(
+                q_embs, company, question, selected_years=selected_years,
+                cfg=scfg, query_texts=exp.queries,
+            )
+        else:
+            cands = self.engine.search(
+                q_embs, company, question, selected_years=selected_years,
+                cfg=scfg, query_texts=exp.queries, with_details=wants_details,
+            )
         if wants_details:
             cands, dev_details = cands
             payload.update(self.engine.materialize_details(dev_details, scfg))

@@ -418,6 +418,53 @@ def search_device(
     return fused, details
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "window", "with_terms"))
+def search_many_device(
+    index: CorpusIndex,
+    q: jax.Array,          # [R, Q, D] padded query embeddings, R requests
+    q_valid: jax.Array,    # [R, Q] bool
+    doc_masks: jax.Array,  # [M, N] shared routed row masks
+    doc_valid: jax.Array,  # [M] bool
+    cfg: SearchConfig,
+    q_terms: Optional[jax.Array] = None,   # [R, Q, T] when with_terms
+    ivf=None,
+    row_slot: Optional[jax.Array] = None,
+    win_start: Optional[jax.Array] = None,
+    win_len: Optional[jax.Array] = None,
+    slot_doc: Optional[jax.Array] = None,
+    window: int = 0,
+    with_terms: bool = False,
+) -> FusedCandidates:
+    """R concurrent requests through ONE dispatch of the fused graph.
+
+    The reference serves concurrent questions as independent thread-pool
+    tasks (reference src/questions_processing.py:1120-1130), so every
+    question pays its own full corpus scan.  Here requests that share a
+    route (same routed documents — e.g. every question about the one
+    deployed company) vmap over `search_device`: XLA batches the per-slot
+    matmuls across requests, so the corpus rows are read from HBM once
+    per micro-batch instead of once per question — the scan cost is
+    amortized R ways, which is exactly the bandwidth-bound regime the
+    10M-row corpora sit in (DESIGN.md).
+
+    Fusion stays PER REQUEST (a vmapped `fuse_hits`): hit-count and
+    method-diversity bonuses never mix across requests.  Observability
+    details are not returned in batched mode — callers needing the
+    traversal payloads use `search_device`.
+    """
+
+    def one(qi, qvi, qti):
+        fused, _ = search_device(
+            index, qi, qvi, doc_masks, doc_valid, cfg, qti, ivf,
+            row_slot, win_start, win_len, slot_doc, window=window,
+        )
+        return fused
+
+    if with_terms and q_terms is not None:
+        return jax.vmap(one)(q, q_valid, q_terms)
+    return jax.vmap(lambda qi, qvi: one(qi, qvi, None))(q, q_valid)
+
+
 class QueryEngine:
     """Host-side orchestration around `search_device`.
 
@@ -674,6 +721,75 @@ class QueryEngine:
             ws, wl, slot_doc, window=self.window,
         )
         return (cands, details) if with_details else cands
+
+    def search_many(
+        self,
+        query_embs_list: Sequence[np.ndarray],
+        company: Optional[str],
+        question: str = "",
+        selected_years: Optional[Sequence[int]] = None,
+        cfg: SearchConfig = SearchConfig(),
+        query_texts_list: Optional[Sequence[Optional[Sequence[str]]]] = None,
+    ) -> List[FusedCandidates]:
+        """R requests sharing one (company, years) route in ONE dispatch.
+
+        Each element of ``query_embs_list`` is one request's ``[B_i, D]``
+        expanded-query embeddings; results come back as one
+        ``FusedCandidates`` per request, identical to R separate
+        :meth:`search` calls (vmapped fusion — see ``search_many_device``).
+        The request axis is padded to the next power of two (padded rows
+        carry no valid queries) so the jitted graph specializes O(log R)
+        times, mirroring the query/doc-slot bucketing in qa/processor.
+        """
+        doc_ids = self.routed_docs(company, question, selected_years)
+        if not doc_ids:
+            raise ValueError(f"No report found with '{company}' company name.")
+        dm, dv, row_slot, ws, wl, slot_doc = self.doc_masks(doc_ids, cfg.max_docs)
+        R = len(query_embs_list)
+        if R == 0:
+            return []
+        R_pad = 1 << (R - 1).bit_length()
+        q = np.zeros((R_pad, cfg.max_queries, self.index.dim), np.float32)
+        qv = np.zeros((R_pad, cfg.max_queries), bool)
+        for r, qe in enumerate(query_embs_list):
+            qe = np.asarray(qe, np.float32)
+            B = min(qe.shape[0], cfg.max_queries)
+            q[r, :B] = qe[:B]
+            qv[r, :B] = True
+        q_terms = None
+        with_terms = False
+        if cfg.use_bm25 and self.index.sparse is not None:
+            from ..ops.bm25 import encode_queries
+
+            vb = self.index.sparse.vocab_bits
+            term_rows = []
+            for r in range(R_pad):
+                if r >= R:
+                    texts = []                     # request-axis padding
+                elif (query_texts_list is not None
+                        and r < len(query_texts_list)
+                        and query_texts_list[r] is not None):
+                    texts = list(query_texts_list[r])
+                else:
+                    texts = [question]
+                texts = texts[: cfg.max_queries]
+                texts += [""] * (cfg.max_queries - len(texts))
+                term_rows.append(encode_queries(texts, vocab_bits=vb))
+            q_terms = jnp.stack([jnp.asarray(t) for t in term_rows])
+            with_terms = True
+        if cfg.use_ivf and self.ivf is None:
+            raise ValueError(
+                "SearchConfig.use_ivf requires QueryEngine.build_ivf() first"
+            )
+        fused = search_many_device(
+            self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg,
+            q_terms, self.ivf if cfg.use_ivf else None, row_slot,
+            ws, wl, slot_doc, window=self.window, with_terms=with_terms,
+        )
+        return [
+            jax.tree_util.tree_map(lambda a, r=r: a[r], fused)
+            for r in range(R)
+        ]
 
     # -- materialisation -------------------------------------------------
     def materialize(

@@ -1,0 +1,165 @@
+"""Cross-request micro-batching for the serving path.
+
+The reference serves concurrent questions as independent thread-pool tasks
+(reference src/questions_processing.py:1120-1130): each question pays a
+full FAISS scan per routed database.  On TPU the scan is one
+HBM-bandwidth-bound dispatch, so concurrent requests that share a route
+(the common case — the deployed corpus is one company, and most questions
+carry no year filter) can ride ONE dispatch: `QueryEngine.search_many`
+vmaps the fused graph over a request axis and the corpus rows are read
+once per micro-batch instead of once per question.
+
+`MicroBatcher` is the host-side coalescer: calling threads enqueue their
+request under a group key (route + static search config); the first
+thread of a group becomes the dispatcher, waits `window_ms` for
+followers, then runs the batched search and hands each waiter its own
+`FusedCandidates`.  Requests with distinct routes/configs never batch
+(they would need different compiled graphs); a group is dispatched
+eagerly once `max_batch` requests are waiting, and overflow beyond
+`max_batch` is led by a promoted waiter — no request is ever dropped.
+
+Semantics are identical to unbatched `QueryEngine.search` — parity is
+asserted field-for-field in tests/test_batcher.py.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..retrieval.engine import QueryEngine, SearchConfig
+
+
+class _Pending:
+    __slots__ = ("q_embs", "query_texts", "event", "result", "error")
+
+    def __init__(self, q_embs, query_texts):
+        self.q_embs = q_embs
+        self.query_texts = query_texts
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class _Group:
+    __slots__ = ("items", "leader_present")
+
+    def __init__(self):
+        self.items: List[_Pending] = []
+        self.leader_present = False
+
+
+class MicroBatcher:
+    """Coalesces concurrent `search` calls into `search_many` dispatches.
+
+    Thread-safe; one instance is shared by every session of a webapp /
+    batch-QA run.  ``window_ms`` bounds the added latency for a lone
+    request (a request that arrives while its group's dispatcher is
+    already collecting rides along at zero extra wait).
+    """
+
+    def __init__(
+        self,
+        engine: QueryEngine,
+        max_batch: int = 8,
+        window_ms: float = 4.0,
+    ):
+        self.engine = engine
+        self.max_batch = max(1, int(max_batch))
+        self.window_ms = float(window_ms)
+        self._lock = threading.Lock()
+        self._groups: Dict[tuple, _Group] = {}
+        # observability: dispatch count + request/batching totals
+        self.stats = {"dispatches": 0, "requests": 0, "batched_requests": 0}
+
+    # ---------------------------------------------------------------- keys
+    @staticmethod
+    def _group_key(
+        company: Optional[str],
+        selected_years: Optional[Sequence[int]],
+        cfg: SearchConfig,
+    ) -> tuple:
+        years = tuple(sorted(selected_years)) if selected_years else None
+        return (company, years, cfg)
+
+    # -------------------------------------------------------------- public
+    def search(
+        self,
+        query_embs: np.ndarray,
+        company: Optional[str],
+        question: str = "",
+        selected_years: Optional[Sequence[int]] = None,
+        cfg: SearchConfig = SearchConfig(),
+        query_texts: Optional[Sequence[str]] = None,
+    ):
+        """Drop-in for ``QueryEngine.search(..., with_details=False)``."""
+        key = self._group_key(company, selected_years, cfg)
+        if query_texts is None and cfg.use_bm25:
+            # bind the per-request BM25 fallback HERE: inside a batch the
+            # engine's [question] default would be the leader's question
+            query_texts = [question]
+        item = _Pending(query_embs, query_texts)
+        with self._lock:
+            self.stats["requests"] += 1
+            group = self._groups.get(key)
+            if group is None:
+                group = _Group()
+                self._groups[key] = group
+            group.items.append(item)
+            leader = not group.leader_present
+            group.leader_present = True
+
+        while True:
+            if not leader:
+                item.event.wait()
+                if item.error is not None:
+                    raise item.error
+                if item.result is not None:
+                    return item.result
+                # promoted: the previous leader dispatched a full batch and
+                # woke this waiter to lead the overflow (item still queued)
+                item.event.clear()
+                leader = True
+
+            # ---- leader: collect followers, dispatch, promote overflow ----
+            deadline = time.monotonic() + self.window_ms / 1000.0
+            while time.monotonic() < deadline:
+                with self._lock:
+                    if len(group.items) >= self.max_batch:
+                        break
+                time.sleep(self.window_ms / 1000.0 / 8)
+            with self._lock:
+                taken = group.items[: self.max_batch]
+                group.items = group.items[self.max_batch:]
+                promoted = group.items[0] if group.items else None
+                if promoted is None:
+                    group.leader_present = False
+                    if not group.items:
+                        del self._groups[key]
+            try:
+                results = self.engine.search_many(
+                    [p.q_embs for p in taken],
+                    company,
+                    question,
+                    selected_years=selected_years,
+                    cfg=cfg,
+                    query_texts_list=[p.query_texts for p in taken],
+                )
+                with self._lock:
+                    self.stats["dispatches"] += 1
+                    self.stats["batched_requests"] += len(taken)
+                for p, r in zip(taken, results):
+                    p.result = r
+                    p.event.set()
+            except BaseException as e:
+                for p in taken:
+                    p.error = e
+                    p.event.set()
+                raise
+            finally:
+                if promoted is not None:
+                    promoted.event.set()   # becomes the overflow's leader
+            return item.result

@@ -32,8 +32,11 @@ from rag_challenge_2_tpu.models.train import TrainConfig
 
 ds = build_dataset(seed=0)
 cfg = EncoderConfig(max_len=96)
-results = {}
 OUT = "/tmp/enc_ablate.json"
+try:        # arms run one per process (relay OOM) — merge across processes
+    results = json.load(open(OUT))
+except (OSError, ValueError):
+    results = {}
 
 which = set(sys.argv[1:]) or {"strong5k", "long15k", "selftrain"}
 

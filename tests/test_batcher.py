@@ -1,0 +1,120 @@
+"""MicroBatcher: concurrent requests coalesce into one dispatch with
+results identical to unbatched QueryEngine.search (field for field)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+from rag_challenge_2_tpu.serving.batcher import MicroBatcher
+
+
+@pytest.fixture
+def engine(tiny_corpus):
+    idx, meta, reports, embs = tiny_corpus
+    return QueryEngine(idx, meta), embs
+
+
+def _q_for(embs, doc, row, rng, noise=0.01):
+    q = embs[doc][row] + noise * rng.normal(size=embs[doc].shape[1])
+    return (q / np.linalg.norm(q)).astype(np.float32)[None, :]
+
+
+def _same(a, b):
+    import jax
+
+    a, b = jax.device_get(a), jax.device_get(b)
+    assert np.asarray(a.key).tolist() == np.asarray(b.key).tolist()
+    assert np.asarray(a.rep_row).tolist() == np.asarray(b.rep_row).tolist()
+    np.testing.assert_allclose(
+        np.asarray(a.score), np.asarray(b.score), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_batched_parity_under_threads(engine, rng):
+    eng, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10, use_bm25=True)
+    batcher = MicroBatcher(eng, max_batch=4, window_ms=30.0)
+    reqs = [
+        (_q_for(embs, d, r, rng), f"doc{d} chunk{r} 营业收入")
+        for d, r in [(0, 5), (1, 3), (2, 7), (0, 1)]
+    ]
+    got = [None] * len(reqs)
+    errs = []
+
+    def run(i):
+        try:
+            q, text = reqs[i]
+            got[i] = batcher.search(
+                q, "金盘科技", question=text, cfg=cfg
+            )
+        except BaseException as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for (q, text), res in zip(reqs, got):
+        want = eng.search(q, "金盘科技", cfg=cfg, query_texts=[text])
+        _same(res, want)
+    # all four shared the route → at most 2 dispatches (timing-dependent),
+    # and every request went through the batched path
+    assert batcher.stats["requests"] == 4
+    assert batcher.stats["batched_requests"] == 4
+    assert 1 <= batcher.stats["dispatches"] <= 4
+
+
+def test_single_request_passthrough(engine, rng):
+    eng, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10)
+    batcher = MicroBatcher(eng, max_batch=4, window_ms=1.0)
+    q = _q_for(embs, 0, 5, rng)
+    res = batcher.search(q, "金盘科技", cfg=cfg)
+    _same(res, eng.search(q, "金盘科技", cfg=cfg))
+    assert batcher.stats["dispatches"] == 1
+
+
+def test_overflow_promotes_new_leader(engine, rng):
+    """More waiters than max_batch: the overflow is led by a promoted
+    waiter — nothing deadlocks, everything returns the right answer."""
+    eng, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10)
+    batcher = MicroBatcher(eng, max_batch=2, window_ms=50.0)
+    rows = [5, 3, 7, 1, 9]
+    got = [None] * len(rows)
+
+    def run(i):
+        got[i] = batcher.search(_q_for(embs, 0, rows[i], rng), "金盘科技", cfg=cfg)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(rows))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i in range(len(rows)):
+        assert got[i] is not None, f"request {i} never completed"
+    assert batcher.stats["batched_requests"] == 5
+    assert batcher.stats["dispatches"] >= 3  # ceil(5 / max_batch=2)
+
+
+def test_distinct_routes_do_not_batch(engine, rng):
+    eng, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10)
+    batcher = MicroBatcher(eng, max_batch=4, window_ms=5.0)
+    q1 = _q_for(embs, 0, 5, rng)
+    r1 = batcher.search(q1, "金盘科技", selected_years=[2023], cfg=cfg)
+    batcher.search(_q_for(embs, 1, 3, rng), "金盘科技",
+                   selected_years=[2024], cfg=cfg)
+    _same(r1, eng.search(q1, "金盘科技", selected_years=[2023], cfg=cfg))
+    assert batcher.stats["dispatches"] == 2
+
+
+def test_error_propagates_to_all_waiters(engine, rng):
+    eng, embs = engine
+    batcher = MicroBatcher(eng, max_batch=4, window_ms=5.0)
+    with pytest.raises(ValueError, match="No report found"):
+        batcher.search(_q_for(embs, 0, 5, rng), "不存在公司")

@@ -468,3 +468,63 @@ def test_cluster_order_preserves_int8_budget_by_default(engine, rng):
                        use_ivf=True, ivf_nprobe=4)
     res = co.materialize(co.search(q, "金盘科技", cfg=cfg), cfg)
     assert res and res[0]["text"].endswith("chunk5"), res[0]
+
+
+# ---------------------------------------------------------------- search_many
+def _assert_cands_equal(a, b, tol=1e-5):
+    import jax
+
+    a = jax.device_get(a)
+    b = jax.device_get(b)
+    assert np.asarray(a.key).tolist() == np.asarray(b.key).tolist()
+    assert np.asarray(a.rep_row).tolist() == np.asarray(b.rep_row).tolist()
+    assert np.asarray(a.n_queries).tolist() == np.asarray(b.n_queries).tolist()
+    assert np.asarray(a.n_methods).tolist() == np.asarray(b.n_methods).tolist()
+    np.testing.assert_allclose(
+        np.asarray(a.score), np.asarray(b.score), rtol=tol, atol=tol
+    )
+
+
+@pytest.mark.parametrize("method,use_bm25", [
+    ("basic", False), ("basic", True), ("hybrid_expansion", True),
+])
+def test_search_many_matches_individual(engine, rng, method, use_bm25):
+    """R batched requests == R separate search() calls, field for field
+    (fusion stays per request — bonuses never mix across the batch)."""
+    eng, reports, embs = engine
+    cfg = SearchConfig(method=method, top_k=5, top_n=10,
+                       use_bm25=use_bm25, max_queries=4)
+    reqs = [
+        np.concatenate([_q_for(embs, 0, 5, rng), _q_for(embs, 0, 5, rng)]),
+        _q_for(embs, 1, 3, rng),
+        _q_for(embs, 2, 7, rng),
+    ]
+    texts = [["金盘科技 营业收入", "营收"], ["毛利率"], None]
+    batched = eng.search_many(
+        reqs, "金盘科技", cfg=cfg, query_texts_list=texts
+    )
+    assert len(batched) == len(reqs)
+    for qe, qt, got in zip(reqs, texts, batched):
+        want = eng.search(qe, "金盘科技", cfg=cfg, query_texts=qt)
+        _assert_cands_equal(got, want)
+
+
+def test_search_many_single_request(engine, rng):
+    eng, reports, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10)
+    q = _q_for(embs, 0, 5, rng)
+    got = eng.search_many([q], "金盘科技", cfg=cfg)[0]
+    want = eng.search(q, "金盘科技", cfg=cfg)
+    _assert_cands_equal(got, want)
+
+
+def test_search_many_with_ivf(engine, rng):
+    eng, reports, embs = engine
+    eng.build_ivf(n_clusters=4, iters=8)
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10,
+                       use_ivf=True, ivf_nprobe=4)
+    reqs = [_q_for(embs, 0, 5, rng), _q_for(embs, 1, 3, rng)]
+    batched = eng.search_many(reqs, "金盘科技", cfg=cfg)
+    for qe, got in zip(reqs, batched):
+        want = eng.search(qe, "金盘科技", cfg=cfg)
+        _assert_cands_equal(got, want)

@@ -224,3 +224,30 @@ def test_many_doc_route_searches_all_docs(rng):
         out2 = proc.get_answer_for_company("金盘科技", "近十年营业收入趋势如何？", "number")
     years2 = {r["source_year"] for r in out2["initial_retrieval_results"]}
     assert 2015 not in years2 and max(years2) == 2024
+
+
+def test_micro_batched_qa_matches_unbatched(tiny_corpus, rng):
+    """QAConfig.micro_batch routes concurrent retrievals through the
+    MicroBatcher; answers match the unbatched processor exactly."""
+    questions = [
+        {"question": "金盘科技2023年营业收入是多少", "schema": "number"},
+        {"question": "金盘科技2024年毛利率是多少", "schema": "number"},
+        {"question": "金盘科技研发费用情况如何", "schema": "number"},
+    ]
+    base_proc, _ = make_processor(
+        tiny_corpus, rng, dict(BASE_SCRIPT),
+        cfg=QAConfig(parallel_requests=3, use_bm25=True),
+    )
+    mb_proc, _ = make_processor(
+        tiny_corpus, rng, dict(BASE_SCRIPT),
+        cfg=QAConfig(parallel_requests=3, use_bm25=True, micro_batch=4),
+    )
+    base = base_proc.process_questions_list(list(questions))
+    got = mb_proc.process_questions_list(list(questions))
+    assert mb_proc.batcher is not None
+    assert mb_proc.batcher.stats["batched_requests"] == 3
+    for b, g in zip(base["questions"], got["questions"]):
+        assert g["value"] == b["value"]
+        assert g.get("references") == b.get("references")
+    for b, g in zip(base["answer_details"], got["answer_details"]):
+        assert g.get("relevant_pages") == b.get("relevant_pages")
