@@ -1,0 +1,134 @@
+"""Distributed IVF (parallel/sharded_ivf) on the 8-device virtual CPU mesh:
+merge machinery must be bit-exact vs a host-sequential per-shard replay,
+recall must beat the matched single-shard IVF, and routing must hold."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rag_challenge_2_tpu.index.ivf import build_ivf, ivf_search, quantize_ivf
+from rag_challenge_2_tpu.ops.topk import dense_topk
+from rag_challenge_2_tpu.parallel.mesh import make_mesh
+from rag_challenge_2_tpu.parallel.sharded_ivf import (
+    build_sharded_ivf,
+    sharded_ivf_search,
+)
+
+S = 4
+N, D, K_CLUSTERS = 2048, 32, 8
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(N, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.normal(size=(5, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return jnp.asarray(emb), jnp.asarray(q)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh({"data": S})
+
+
+def _replay_sequential(emb, q, k, nprobe, quantize=False):
+    """Host-sequential reference: per-shard build_ivf + ivf_search, merged
+    with the same (-val, lower-global-row) order the device merge uses."""
+    rows_per_shard = -(-emb.shape[0] // S)
+    all_v, all_r = [], []
+    for s in range(S):
+        lo, hi = s * rows_per_shard, min(emb.shape[0], (s + 1) * rows_per_shard)
+        ivf = build_ivf(emb[lo:hi], n_clusters=K_CLUSTERS, iters=10, seed=s)
+        if quantize:
+            ivf = quantize_ivf(ivf)
+        v, r = ivf_search(ivf, q, min(k, hi - lo), nprobe=nprobe)
+        all_v.append(np.asarray(v))
+        all_r.append(np.where(np.asarray(r) >= 0, np.asarray(r) + lo, -1))
+    av = np.concatenate(all_v, axis=1)
+    ai = np.concatenate(all_r, axis=1)
+    out_v, out_r = [], []
+    for b in range(q.shape[0]):
+        order = np.lexsort((np.where(ai[b] >= 0, ai[b], 2**30), -av[b]))[:k]
+        out_v.append(av[b][order])
+        out_r.append(ai[b][order])
+    return np.stack(out_v), np.stack(out_r)
+
+
+def test_sharded_matches_sequential_replay(corpus, mesh):
+    emb, q = corpus
+    k, nprobe = 10, 2
+    sivf = build_sharded_ivf(emb, mesh, n_clusters=K_CLUSTERS, seed=0)
+    vals, rows = sharded_ivf_search(sivf, q, k, mesh, nprobe=nprobe)
+    want_v, want_r = _replay_sequential(emb, q, k, nprobe)
+    assert np.asarray(rows).tolist() == want_r.tolist()
+    np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_recall_beats_matched_single(corpus, mesh):
+    emb, q = corpus
+    k = 10
+    _, oracle = dense_topk(q, emb, k, impl="xla")
+    oracle = np.asarray(oracle)
+
+    sivf = build_sharded_ivf(emb, mesh, n_clusters=K_CLUSTERS, seed=0)
+    _, rows_sh = sharded_ivf_search(sivf, q, k, mesh, nprobe=2)
+
+    single = build_ivf(emb, n_clusters=K_CLUSTERS, iters=10, seed=0)
+    _, rows_1 = ivf_search(single, q, k, nprobe=2)
+
+    def recall(rows):
+        rows = np.asarray(rows)
+        return np.mean([
+            len(set(rows[b].tolist()) & set(oracle[b].tolist())) / k
+            for b in range(q.shape[0])
+        ])
+
+    r_sh, r_1 = recall(rows_sh), recall(rows_1)
+    # S shards probe S·nprobe lists total → recall must not fall below the
+    # single index at the same nprobe (usually strictly above)
+    assert r_sh >= r_1 - 1e-9, (r_sh, r_1)
+    assert r_sh > 0.5
+
+
+def test_sharded_int8_store(corpus, mesh):
+    emb, q = corpus
+    k = 10
+    sivf = build_sharded_ivf(
+        emb, mesh, n_clusters=K_CLUSTERS, seed=0, quantize=True
+    )
+    assert sivf.emb_perm.dtype == jnp.int8 and sivf.row_scale is not None
+    vals, rows = sharded_ivf_search(sivf, q, k, mesh, nprobe=2)
+    want_v, want_r = _replay_sequential(emb, q, k, nprobe=2, quantize=True)
+    assert np.asarray(rows).tolist() == want_r.tolist()
+    np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_window_routing(corpus, mesh):
+    """Global contiguous row-range routing: results stay inside the window
+    and match an exact masked scan's candidate set on the probed lists."""
+    emb, q = corpus
+    k, nprobe = 10, 8  # probe everything → exact within the window
+    sivf = build_sharded_ivf(emb, mesh, n_clusters=K_CLUSTERS, seed=0)
+    ws = jnp.full((q.shape[0],), 512, jnp.int32)
+    wl = jnp.full((q.shape[0],), 1024, jnp.int32)   # spans shards 1 and 2
+    vals, rows = sharded_ivf_search(
+        sivf, q, k, mesh, nprobe=nprobe, win_start=ws, win_len=wl
+    )
+    rows = np.asarray(rows)
+    live = rows >= 0
+    assert live.any()
+    assert ((rows[live] >= 512) & (rows[live] < 1536)).all()
+    # nprobe = K probes every list → exact: equals the masked dense top-k
+    mask = np.zeros((N,), bool)
+    mask[512:1536] = True
+    _, want = dense_topk(q, emb, k, mask=jnp.asarray(mask), impl="xla")
+    assert rows.tolist() == np.asarray(want).tolist()
+
+
+def test_too_few_rows_raises(mesh):
+    with pytest.raises(ValueError, match="cannot shard"):
+        build_sharded_ivf(jnp.zeros((2, 8)), mesh, n_clusters=1)
