@@ -76,14 +76,29 @@ class MicroBatcher:
         self.stats = {"dispatches": 0, "requests": 0, "batched_requests": 0}
 
     # ---------------------------------------------------------------- keys
-    @staticmethod
     def _group_key(
+        self,
         company: Optional[str],
+        question: str,
         selected_years: Optional[Sequence[int]],
         cfg: SearchConfig,
     ) -> tuple:
-        years = tuple(sorted(selected_years)) if selected_years else None
-        return (company, years, cfg)
+        # Key on the RESOLVED route (the routed doc ids), not the raw
+        # (company, years) inputs: distinct year filters often resolve to
+        # the same documents (a year with no report falls back to all
+        # company docs — routing.route_core), and those requests can share
+        # a dispatch.  Only members routing to the same documents may
+        # batch; the leader's (company, years) then resolves identically
+        # for everyone in the group.
+        doc_ids = tuple(
+            self.engine.routed_docs(company, question, selected_years)
+        )
+        if not doc_ids:
+            # fail HERE, per-request, instead of poisoning a batch
+            raise ValueError(
+                f"No report found with '{company}' company name."
+            )
+        return (company, doc_ids, cfg)
 
     # -------------------------------------------------------------- public
     def search(
@@ -96,7 +111,7 @@ class MicroBatcher:
         query_texts: Optional[Sequence[str]] = None,
     ):
         """Drop-in for ``QueryEngine.search(..., with_details=False)``."""
-        key = self._group_key(company, selected_years, cfg)
+        key = self._group_key(company, question, selected_years, cfg)
         if query_texts is None and cfg.use_bm25:
             # bind the per-request BM25 fallback HERE: inside a batch the
             # engine's [question] default would be the leader's question

@@ -113,6 +113,38 @@ def test_distinct_routes_do_not_batch(engine, rng):
     assert batcher.stats["dispatches"] == 2
 
 
+def test_equivalent_routes_share_a_dispatch(engine, rng):
+    """Groups key on the RESOLVED route: [2023] and [2022, 2023] resolve
+    to the same document (no 2022 report exists), so they may ride one
+    dispatch — the raw-years key kept them apart."""
+    eng, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10)
+    batcher = MicroBatcher(eng, max_batch=4, window_ms=60.0)
+    assert (eng.routed_docs("金盘科技", selected_years=[2023])
+            == eng.routed_docs("金盘科技", selected_years=[2022, 2023]))
+    reqs = [
+        (_q_for(embs, 0, 5, rng), [2023]),
+        (_q_for(embs, 0, 3, rng), [2022, 2023]),
+    ]
+    got = [None] * 2
+
+    def run(i):
+        q, years = reqs[i]
+        got[i] = batcher.search(q, "金盘科技", selected_years=years, cfg=cfg)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for (q, years), res in zip(reqs, got):
+        assert res is not None
+        _same(res, eng.search(q, "金盘科技", selected_years=years, cfg=cfg))
+    # timing-dependent: 1 dispatch when they coalesce, 2 if the leader
+    # fired before the second arrived — never more
+    assert 1 <= batcher.stats["dispatches"] <= 2
+
+
 def test_error_propagates_to_all_waiters(engine, rng):
     eng, embs = engine
     batcher = MicroBatcher(eng, max_batch=4, window_ms=5.0)
