@@ -251,6 +251,7 @@ def run_quality_eval(
         pre_cfg=PretrainConfig(
             steps=ict_steps, batch_size=batch_size, seed=seed,
             crop_prob=0.0, keep_span_prob=0.0,   # removal-only ICT
+            bm25_neighbor_prob=0.0, hard_batch_prob=0.0, alias_swap_prob=0.0,
         ),
     )
     results["encoder_ict"] = eval_dense(ict_only.embed, ds)
@@ -263,6 +264,7 @@ def run_quality_eval(
         pre_cfg=PretrainConfig(
             steps=ict_steps, batch_size=batch_size, seed=seed,
             bm25_neighbor_prob=0.0, hard_batch_prob=0.0,  # mining OFF
+            alias_swap_prob=0.0,
         ),
     )
     results["encoder_unsupervised"] = eval_dense(model.embed, ds)
@@ -273,17 +275,34 @@ def run_quality_eval(
     # in-repo sparse path + hard in-batch negatives from BM25
     # neighborhoods.  The dense model inherits BM25's lexical graph and —
     # through embedding transitivity across glossary chunks — the
-    # alias↔metric links BM25 itself cannot score.  The 0.8/1.0 mix is
-    # PretrainConfig's default (the measured-best of the ablation
-    # recorded there: 0.47 hit@10 vs 0.385 for the earlier 0.5/0.5).
+    # alias↔metric links BM25 itself cannot score.  Measured alone here
+    # (alias swap off): 0.47 hit@10 vs 0.385 for the earlier 0.5/0.5 mix.
     distill, info = pretrain_encoder(
         ds.chunk_texts,
         enc_cfg=cfg,
-        pre_cfg=PretrainConfig(steps=ict_steps, batch_size=batch_size, seed=seed),
+        pre_cfg=PretrainConfig(
+            steps=ict_steps, batch_size=batch_size, seed=seed,
+            alias_swap_prob=0.0,
+        ),
     )
     results["encoder_bm25_distill"] = eval_dense(distill.embed, ds)
     log(f"unsupervised + bm25-distill {ict_steps} steps "
         f"(final {info['final']}): {results['encoder_bm25_distill']}")
+
+    # The full PretrainConfig-default recipe: distillation + corpus-mined
+    # synonym substitution on the query view (alias_swap_prob 0.8 —
+    # mine_alias_pairs over the corpus's own definitional sentences, no
+    # labels).  The measured-best label-free system: 0.73 hit@10, 2.4x
+    # random init (docs/ENCODER_QUALITY.json encoder_alias_distill).
+    alias_distill, info = pretrain_encoder(
+        ds.chunk_texts,
+        enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=ict_steps, batch_size=batch_size, seed=seed),
+    )
+    results["encoder_alias_distill"] = eval_dense(alias_distill.embed, ds)
+    log(f"unsupervised + bm25-distill + alias swap (the default) "
+        f"{ict_steps} steps (final {info['final']}): "
+        f"{results['encoder_alias_distill']}")
 
     # LISTWISE BM25 distillation (models/pretrain.py soft_target_weight):
     # instead of swapping the single positive for BM25's argmax, every
@@ -297,7 +316,7 @@ def run_quality_eval(
         pre_cfg=PretrainConfig(
             steps=ict_steps, batch_size=batch_size, seed=seed,
             bm25_neighbor_prob=0.0, hard_batch_prob=0.5,
-            soft_target_weight=0.8,
+            soft_target_weight=0.8, alias_swap_prob=0.0,
         ),
     )
     results["encoder_bm25_listwise"] = eval_dense(listwise.embed, ds)
@@ -307,6 +326,7 @@ def run_quality_eval(
     unsup = {
         "encoder_unsupervised": model,
         "encoder_bm25_distill": distill,
+        "encoder_alias_distill": alias_distill,
         "encoder_bm25_listwise": listwise,
     }
     best = max(unsup, key=lambda k: results[k]["hit@10"])

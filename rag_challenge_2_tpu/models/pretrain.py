@@ -60,9 +60,10 @@ class PretrainConfig:
     # a metric term with fact chunks pulls its alias tokens toward them).
     # Default = the measured-best label-free mix on the config-4 quality
     # eval (docs/ENCODER_QUALITY.json): 0.8/1.0 scores 0.47 hit@10 vs
-    # 0.385 for 0.5/0.5, 0.305 random init, 0.18 crop+ICT alone.  Ablated
-    # non-winners: 3× steps 0.455, idf-weighted chunk sampling 0.43,
-    # listwise soft targets 0.21.  Set both to 0 for pure crop+ICT.
+    # 0.385 for 0.5/0.5, 0.305 random init, 0.18 crop+ICT alone — and
+    # 0.73 with the default alias swap on top (see alias_swap_prob).
+    # Ablated non-winners: 3× steps 0.455, idf-weighted chunk sampling
+    # 0.43, listwise soft targets 0.21.  Set both to 0 for pure crop+ICT.
     bm25_neighbor_prob: float = 0.8
     bm25_vocab_bits: int = 18
     # with this probability a step's batch is one seed crop's top BM25
@@ -88,8 +89,13 @@ class PretrainConfig:
     # aligns alias wording with term wording — the regime where lexical
     # matching fails and an embedding model must carry the quality.
     # Mining = mine_alias_pairs() over the training corpus itself; no
-    # labels, no external vocabulary.
-    alias_swap_prob: float = 0.0
+    # labels, no external vocabulary.  Default = the measured-best
+    # label-free setting on the config-4 quality eval
+    # (docs/ENCODER_QUALITY.json): 0.8 scores 0.73 hit@10 (2.4× random
+    # init, 0.67 at seed 1) vs 0.66 at 1.0 (always-swapped queries lose
+    # the literal-wording anchor), 0.47 with the swap off; question
+    # wrapping on top measured no gain (0.70).
+    alias_swap_prob: float = 0.8
     # doc2query-style question wrapping: serving queries are QUESTIONS
     # while corpus crops are declarative statements — a distribution gap
     # ICT/crops never bridge.  With this probability the query view is

@@ -5,7 +5,11 @@ Measured on TPU v5e (hit@10 on eval/encoder_quality.build_dataset, 200
 held-out paraphrase queries; steps=5000 batch=64 seed=0 unless noted):
 
   base5k          0.385   distill 0.5/0.5
-  strong5k        0.47    distill 0.8/1.0  <- the winner, now the default
+  strong5k        0.47    distill 0.8/1.0
+  alias5k_p8      0.73    + alias swap 0.8  <- the winner, now the default
+  alias5k_p8_s1   0.67    (seed 1: the win is seed-robust)
+  alias5k_p10     0.66    alias swap 1.0: loses the literal-word anchor
+  alias5k_p8_qw5  0.70    + question wrapping 0.5: no gain
   long15k         -       (0.5/0.5 x3 steps; superseded by strong15k)
   strong15k       0.455   0.8/1.0 x3 steps + warmup-cosine: no gain
   idf5k           0.43    + idf-weighted chunk sampling: dilutes facts
@@ -56,14 +60,16 @@ if "selftrain" in which or "base5k" in which:
     base_model, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
-                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5))
+                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5,
+                               alias_swap_prob=0.0))
     record("base5k", base_model, info)
 
 if "strong5k" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
-                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0))
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.0))
     record("strong5k", m, info)
 
 for arm, p in (("alias5k_p3", 0.3), ("alias5k_p5", 0.5), ("alias5k_p8", 0.8),
@@ -115,7 +121,8 @@ if "long15k" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=15000, batch_size=64, seed=0,
-                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5),
+                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5,
+                               alias_swap_prob=0.0),
         train_cfg=TrainConfig(lr=3e-4, total_steps=15000))
     record("long15k", m, info)
 
@@ -133,7 +140,8 @@ if "selftrain" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
-                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5),
+                               bm25_neighbor_prob=0.5, hard_batch_prob=0.5,
+                               alias_swap_prob=0.0),
         teacher_score_fn=teacher,
         init_params=base_model.params,
     )
@@ -144,7 +152,8 @@ if "strong15k" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=15000, batch_size=64, seed=0,
-                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0),
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.0),
         train_cfg=TrainConfig(lr=3e-4, total_steps=15000))
     record("strong15k", m, info)
     base_model = m          # selftrain_strong stages on top of this
@@ -162,7 +171,8 @@ if "selftrain_strong" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
-                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0),
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.0),
         train_cfg=TrainConfig(lr=1e-4, total_steps=5000),
         teacher_score_fn=teacher,
         init_params=base_model.params,
@@ -175,7 +185,7 @@ if "idf5k" in which:
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
                                bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
-                               idf_sampling=1.0))
+                               alias_swap_prob=0.0, idf_sampling=1.0))
     record("idf5k", m, info)
 
 if "idf5k_p2" in which:
@@ -183,7 +193,7 @@ if "idf5k_p2" in which:
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0,
                                bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
-                               idf_sampling=2.0))
+                               alias_swap_prob=0.0, idf_sampling=2.0))
     record("idf5k_p2", m, info)
 
 if "selftrain_from" in which:
@@ -211,7 +221,8 @@ if "selftrain_from" in which:
     m, info = pretrain_encoder(
         ds.chunk_texts, enc_cfg=cfg,
         pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
-                               bm25_neighbor_prob=nbr, hard_batch_prob=hard),
+                               bm25_neighbor_prob=nbr, hard_batch_prob=hard,
+                               alias_swap_prob=0.0),
         train_cfg=TrainConfig(lr=1e-4, total_steps=5000),
         teacher_score_fn=teacher,
         init_params=base_model.params,

@@ -516,11 +516,12 @@ def test_mine_alias_pairs_and_query_swap():
     assert "归母" not in out
     assert "归属股东的净利润" in out
     assert "营业收入" not in out
-    # prob 0 disables all machinery
+    # prob 0 disables all machinery (explicit: the default is now 0.8)
     s0 = PairSampler(corpus, PretrainConfig(batch_size=8, crop_prob=1.0,
                                             min_span=4,
                                             bm25_neighbor_prob=0.0,
-                                            hard_batch_prob=0.0))
+                                            hard_batch_prob=0.0,
+                                            alias_swap_prob=0.0))
     assert s0._alias_re is None
 
     # end-to-end: with swap prob 1 the sampled queries contain alias
