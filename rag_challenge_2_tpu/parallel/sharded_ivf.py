@@ -62,6 +62,13 @@ class ShardedIVF:
     dim: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_shards: int = dataclasses.field(metadata=dict(static=True), default=0)
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # the mesh the arrays are placed over (hashable → static aux data);
+    # lets consumers (retrieval/engine's use_ivf path) run the probe
+    # search without threading the mesh through their own signatures
+    mesh: Optional[Mesh] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
+    axis: str = dataclasses.field(metadata=dict(static=True), default="data")
 
 
 def build_sharded_ivf(
@@ -133,6 +140,8 @@ def build_sharded_ivf(
         dim=D,
         n_shards=S,
         rows_per_shard=rows_per_shard,
+        mesh=mesh,
+        axis=axis,
     )
 
     def put(a, *rest):
@@ -222,6 +231,12 @@ def make_sharded_ivf_search(
         mv, midx = jax.lax.top_k(av, min(k, n_shards * k_l))
         mi = jnp.take_along_axis(ai, midx, axis=1)
         mi = jnp.where(mv > NEG_INF / 2, mi, -1)
+        if mv.shape[1] < k:
+            # tiny shards (n_pad·S < k): pad to the caller's static k —
+            # consumers (engine basic_block) rely on exactly k columns
+            pad = k - mv.shape[1]
+            mv = jnp.pad(mv, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            mi = jnp.pad(mi, ((0, 0), (0, pad)), constant_values=-1)
         return mv, mi
 
     sh = P(axis, None)
@@ -247,13 +262,20 @@ def sharded_ivf_search(
     sivf: ShardedIVF,
     q: jax.Array,
     k: int,
-    mesh: Mesh,
+    mesh: Optional[Mesh] = None,
     nprobe: int = 8,
-    axis: str = "data",
+    axis: Optional[str] = None,
     win_start: Optional[jax.Array] = None,
     win_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k global rows per query over every shard's probed lists."""
+    """Top-k global rows per query over every shard's probed lists.
+
+    ``mesh``/``axis`` default to the ones the index was built over."""
+    mesh = mesh if mesh is not None else sivf.mesh
+    axis = axis if axis is not None else sivf.axis
+    if mesh is None:
+        raise ValueError("sharded_ivf_search needs a mesh (build_sharded_ivf "
+                         "stamps one; pass mesh= for hand-built indexes)")
     with_window = win_start is not None
     statics = (
         sivf.k_clusters, sivf.max_list, sivf.dim, sivf.rows_per_shard

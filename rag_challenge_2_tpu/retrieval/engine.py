@@ -248,6 +248,7 @@ def search_device(
     def basic_block(k: int):
         if cfg.use_ivf and ivf is not None:
             from ..index.ivf import ivf_search
+            from ..parallel.sharded_ivf import ShardedIVF, sharded_ivf_search
 
             # one batched probe-search over all (query, doc) pairs.
             # Routing mode (cheapest eligible — index/ivf.ivf_search):
@@ -257,7 +258,32 @@ def search_device(
             # probe gather that measured 10.6 qps at 10M) only as the
             # general fallback.
             qv_rep = jnp.repeat(q_valid, M)
-            if slot_doc is not None and ivf.cluster_doc is not None:
+            if isinstance(ivf, ShardedIVF):
+                # distributed probes (parallel/sharded_ivf): per-shard
+                # local search + all-gather merge inside this same jitted
+                # graph — the config-5 pod path.  Routing: contiguous
+                # ORIGINAL-row windows only (the doc layout of
+                # index/build); cluster-ordered stores stay single-device.
+                if use_window:
+                    pw_s = jnp.tile(win_start, Q)
+                    pw_l = jnp.where(
+                        qv_rep & jnp.tile(doc_valid, Q),
+                        jnp.tile(win_len, Q), 0,
+                    )
+                    vals, rows = sharded_ivf_search(
+                        ivf, q_pair, k, nprobe=cfg.ivf_nprobe,
+                        win_start=pw_s, win_len=pw_l,
+                    )
+                else:
+                    # no [B, N] mask mode exists for the distributed
+                    # probe — silently searching the whole corpus would
+                    # break routing, so refuse at trace time
+                    raise ValueError(
+                        "ShardedIVF requires the contiguous doc-window "
+                        "layout (index/build) — rebuild the corpus index "
+                        "or route with win_start/win_len"
+                    )
+            elif slot_doc is not None and ivf.cluster_doc is not None:
                 pd = jnp.where(qv_rep, jnp.tile(slot_doc, Q), -1)
                 vals, rows = ivf_search(
                     ivf, q_pair, k, nprobe=cfg.ivf_nprobe,
@@ -476,7 +502,10 @@ class QueryEngine:
     def __init__(self, index: CorpusIndex, meta: CorpusMeta, ivf=None):
         self.index = index
         self.meta = meta
-        self.ivf = ivf  # optional IVFIndex (build_ivf) for use_ivf configs
+        # optional clustered index for use_ivf configs: an IVFIndex
+        # (build_ivf) or a parallel.sharded_ivf.ShardedIVF (distributed
+        # probes over the index's mesh — pair with a row-sharded corpus)
+        self.ivf = ivf
         self._doc_ids_np = np.asarray(index.doc_id)
         # host copies of the routing columns, pulled once: routing is a
         # host decision and must not cost a device round-trip per question

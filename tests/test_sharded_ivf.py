@@ -132,3 +132,53 @@ def test_sharded_window_routing(corpus, mesh):
 def test_too_few_rows_raises(mesh):
     with pytest.raises(ValueError, match="cannot shard"):
         build_sharded_ivf(jnp.zeros((2, 8)), mesh, n_clusters=1)
+
+
+def test_engine_hybrid_on_fully_sharded_index(mesh, rng):
+    """The FULL engine graph (probe candidates + BM25 + fusion) over a
+    row-sharded corpus + sharded CSR + ShardedIVF: at nprobe = K the
+    probes are exact, so fused results must equal the unsharded engine's
+    exact dense path — the config-5 pod-serving graph end to end."""
+    import dataclasses as dc
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import make_reports
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_challenge_2_tpu.index import build_corpus_index
+    from rag_challenge_2_tpu.parallel.sharded_sparse import shard_sparse_index
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+
+    reports, embs = make_reports(rng)
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=12)
+
+    base_eng = QueryEngine(idx, meta)
+    q = np.concatenate(embs)[7][None, :].astype(np.float32)
+    cfg_exact = SearchConfig(method="basic", top_k=5, top_n=10, use_bm25=True)
+    base = base_eng.materialize(
+        base_eng.search(q, "金盘科技", cfg=cfg_exact, query_texts=["营业收入"]),
+        cfg_exact,
+    )
+
+    kc = 2
+    sivf = build_sharded_ivf(idx.emb, mesh, n_clusters=kc, iters=5,
+                             valid=idx.valid)
+    sharded_idx = dc.replace(
+        idx,
+        emb=jax.device_put(idx.emb, NamedSharding(mesh, P("data", None))),
+        valid=jax.device_put(idx.valid, NamedSharding(mesh, P("data"))),
+        sparse=shard_sparse_index(idx.sparse, S, mesh=mesh),
+    )
+    eng = QueryEngine(sharded_idx, meta, ivf=sivf)
+    cfg_ivf = dc.replace(cfg_exact, use_ivf=True, ivf_nprobe=kc)
+    got = eng.materialize(
+        eng.search(q, "金盘科技", cfg=cfg_ivf, query_texts=["营业收入"]),
+        cfg_ivf,
+    )
+    assert [r["rep_row"] for r in got] == [r["rep_row"] for r in base]
+    for a, b in zip(got, base):
+        assert abs(a["distance"] - b["distance"]) < 1e-4
+        assert a["method_count"] == b["method_count"]
