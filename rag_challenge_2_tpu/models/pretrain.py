@@ -91,10 +91,11 @@ class PretrainConfig:
     # Mining = mine_alias_pairs() over the training corpus itself; no
     # labels, no external vocabulary.  Default = the measured-best
     # label-free setting on the config-4 quality eval
-    # (docs/ENCODER_QUALITY.json): 0.8 scores 0.73 hit@10 (2.4× random
-    # init, 0.67 at seed 1) vs 0.66 at 1.0 (always-swapped queries lose
-    # the literal-wording anchor), 0.47 with the swap off; question
-    # wrapping on top measured no gain (0.70).
+    # (docs/ENCODER_QUALITY.json): 0.8 scores 0.73 hit@10 at 5k steps
+    # (2.4× random init, 0.67 at seed 1) and 0.765 at 15k — unlike plain
+    # distill, this recipe keeps improving with steps — vs 0.66 at 1.0
+    # (always-swapped queries lose the literal-wording anchor), 0.47 with
+    # the swap off; question wrapping on top measured no gain (0.70).
     alias_swap_prob: float = 0.8
     # doc2query-style question wrapping: serving queries are QUESTIONS
     # while corpus crops are declarative statements — a distribution gap

@@ -7,6 +7,7 @@ held-out paraphrase queries; steps=5000 batch=64 seed=0 unless noted):
   base5k          0.385   distill 0.5/0.5
   strong5k        0.47    distill 0.8/1.0
   alias5k_p8      0.73    + alias swap 0.8  <- the winner, now the default
+  alias15k_p8     0.765   the winner x3 steps: still improving with steps
   alias5k_p8_s1   0.67    (seed 1: the win is seed-robust)
   alias5k_p10     0.66    alias swap 1.0: loses the literal-word anchor
   alias5k_p8_qw5  0.70    + question wrapping 0.5: no gain
