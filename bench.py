@@ -1104,14 +1104,34 @@ def main():
         ("qa_warm", bench_qa_warm),
         ("encoder", bench_encoder),
     ]
+    def device_alive() -> bool:
+        # One RESOURCE_EXHAUSTED can leave the axon TPU client poisoned
+        # (every later dispatch fails, even 4-byte transfers); a tiny
+        # probe tells a healable hiccup from a dead client.
+        try:
+            sync(jnp.zeros((1,), jnp.float32) + 1.0)
+            return True
+        except Exception:
+            return False
+
     for name, fn in sections:
         if os.environ.get(f"RAGTPU_BENCH_{name.upper()}", "1") == "0":
             log(f"{name} section skipped by env")
             continue
-        try:
-            fn(extras)
-        except Exception as e:  # pragma: no cover — headline must still print
-            log(f"{name} section failed: {type(e).__name__}: {e}")
+        for attempt in range(2):
+            try:
+                fn(extras)
+                break
+            except Exception as e:  # pragma: no cover — headline must print
+                log(f"{name} section failed: {type(e).__name__}: {e}")
+                if attempt == 0 and "RESOURCE_EXHAUSTED" in str(e):
+                    time.sleep(15)
+                    if device_alive():
+                        log(f"{name}: device healthy again; retrying once")
+                        continue
+                    log("device client poisoned by RESOURCE_EXHAUSTED; "
+                        "skipping retries")
+                break
 
     print(json.dumps({
         "metric": "exact_flat_query_qps_valset_shape",

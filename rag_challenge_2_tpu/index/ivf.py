@@ -114,9 +114,8 @@ def build_ivf(
     pos = offsets[:-1][sorted_assign] + within
     pos_of_x = np.empty(len(rows), np.int64)
     pos_of_x[order] = pos
-    emb_perm_dev = jnp.zeros((n_pad, D), emb.dtype)
-    emb_perm_dev = emb_perm_dev.at[jnp.asarray(pos_of_x)].set(
-        x.astype(emb.dtype)
+    emb_perm_dev = _scatter_into_zeros(
+        jnp.asarray(pos_of_x, jnp.int32), x, n_pad, jnp.dtype(emb.dtype)
     )
     rows_sorted = rows[order]
     row_ids = np.full((n_pad,), -1, np.int32)
@@ -141,6 +140,19 @@ def build_ivf(
         dim=D,
         list_align=ROW_ALIGN,
         dma_pad_rows=n_pad - int(offsets[-1]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "dtype"))
+def _scatter_into_zeros(idx, src, n_pad: int, dtype):
+    """``zeros[n_pad, D].at[idx].set(src)`` as ONE jitted graph: XLA
+    initializes the output buffer and scatters in place, so the build's
+    peak holds source + destination only.  The same expression outside
+    jit materializes the zeros AND a separate scatter result — a third
+    full-matrix buffer that tips a 1M×1024 f32 build over HBM (measured:
+    RESOURCE_EXHAUSTED at 12.4 GB peak on the 16 GB chip)."""
+    return jnp.zeros((n_pad, src.shape[1]), dtype).at[idx].set(
+        src.astype(dtype), unique_indices=True
     )
 
 

@@ -155,5 +155,9 @@ def probe_fast_path_ok(index, window: int) -> bool:
         index.list_align >= ROW_ALIGN
         and index.dma_pad_rows >= dma_slack_rows(window)
         and index.emb_perm.shape[0] % 128 == 0
+        # Mosaic memref slices must be lane-aligned along the minor dim:
+        # a D that is not a multiple of 128 fails TPU compile ("Slice
+        # shape along dimension 1 must be aligned to tiling (128)")
+        and index.dim % _LANES == 0
         and span_bytes <= _VMEM_SPAN_BUDGET
     )

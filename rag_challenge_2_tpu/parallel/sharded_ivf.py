@@ -216,7 +216,12 @@ def make_sharded_ivf_search(
             lo = jnp.clip(ws - base, 0, rows_per_shard)
             hi = jnp.clip(ws + wl - base, 0, rows_per_shard)
             kw = dict(win_start=lo, win_len=jnp.maximum(hi - lo, 0))
-        k_l = min(k, ivf.emb_perm.shape[0])
+        # ivf_search returns min(k_l, P·W) columns (index/ivf.py:569,
+        # P = min(nprobe, K) probes of W = max_list rows each) — clamp
+        # k_l to that too, or the [S, B, k_l] reshape below is wrong
+        # whenever nprobe·max_list < min(k, n_pad) (small shards / low
+        # nprobe: hybrid_expansion's k=50 over a 4-way 256-row index)
+        k_l = min(k, ivf.emb_perm.shape[0], min(nprobe, K) * max_list)
         vals, rows = ivf_search(ivf, q, k_l, nprobe=nprobe, **kw)
         grows = jnp.where(rows >= 0, rows + base, -1)
         av = jax.lax.all_gather(vals, axis)              # [S, B, k_l]

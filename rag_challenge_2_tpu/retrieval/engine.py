@@ -91,6 +91,32 @@ def _pad_queries(qe: jax.Array, max_q: int):
     return q, qv
 
 
+def _pad_request(query_embs, max_q: int, dim: int):
+    """One request's ``[B, D]`` embeddings → padded ``([max_q, D],
+    [max_q])``.  Shared by :meth:`QueryEngine.search` and
+    :meth:`QueryEngine.search_many` so batched and unbatched requests
+    take the SAME path: device-resident inputs (e.g.
+    ``EmbeddingModel.embed_device``) are padded on device — no host
+    round-trip on the serving hot path — and host arrays are padded
+    host-side then uploaded once."""
+    B = min(query_embs.shape[0], max_q)
+    if isinstance(query_embs, jax.Array):
+        return _pad_queries(query_embs[:B], max_q)
+    q = np.zeros((max_q, dim), np.float32)
+    q[:B] = np.asarray(query_embs, np.float32)[:B]
+    qv = np.zeros((max_q,), bool)
+    qv[:B] = True
+    return jnp.asarray(q), jnp.asarray(qv)
+
+
+def _bm25_texts(query_texts, question: str, max_q: int) -> List[str]:
+    """BM25 text list for one request, padded to ``max_q``.  Falsy
+    ``query_texts`` (None OR empty) falls back to the question text —
+    one rule for both the single and the micro-batched path."""
+    texts = list(query_texts or [question])[:max_q]
+    return texts + [""] * (max_q - len(texts))
+
+
 def _flatten_hits(rows, sims, qids, mids, valid):
     """[*, k]-shaped hit blocks → flat arrays for fuse_hits."""
     return (
@@ -724,23 +750,12 @@ class QueryEngine:
         if not doc_ids:
             raise ValueError(f"No report found with '{company}' company name.")
         dm, dv, row_slot, ws, wl, slot_doc = self.doc_masks(doc_ids, cfg.max_docs)
-        B = min(query_embs.shape[0], cfg.max_queries)
-        if isinstance(query_embs, jax.Array):
-            # device-resident queries (e.g. EmbeddingModel.embed_device):
-            # pad on device — no host round-trip on the serving path
-            q_dev, qv_dev = _pad_queries(query_embs[:B], cfg.max_queries)
-        else:
-            q = np.zeros((cfg.max_queries, self.index.dim), np.float32)
-            q[:B] = query_embs[:B]
-            qv = np.zeros((cfg.max_queries,), bool)
-            qv[:B] = True
-            q_dev, qv_dev = jnp.asarray(q), jnp.asarray(qv)
+        q_dev, qv_dev = _pad_request(query_embs, cfg.max_queries, self.index.dim)
         q_terms = None
         if cfg.use_bm25 and self.index.sparse is not None:
             from ..ops.bm25 import encode_queries
 
-            texts = list(query_texts or [question])[: cfg.max_queries]
-            texts += [""] * (cfg.max_queries - len(texts))
+            texts = _bm25_texts(query_texts, question, cfg.max_queries)
             q_terms = encode_queries(texts, vocab_bits=self.index.sparse.vocab_bits)
         if cfg.use_ivf and self.ivf is None:
             raise ValueError("SearchConfig.use_ivf requires QueryEngine.build_ivf() first")
@@ -778,13 +793,17 @@ class QueryEngine:
         if R == 0:
             return []
         R_pad = 1 << (R - 1).bit_length()
-        q = np.zeros((R_pad, cfg.max_queries, self.index.dim), np.float32)
-        qv = np.zeros((R_pad, cfg.max_queries), bool)
-        for r, qe in enumerate(query_embs_list):
-            qe = np.asarray(qe, np.float32)
-            B = min(qe.shape[0], cfg.max_queries)
-            q[r, :B] = qe[:B]
-            qv[r, :B] = True
+        # per-request padding through the SAME helper as search(): device
+        # arrays (pipeline.query_embedder's embed_device output) stay on
+        # device; the request-axis pad rows carry no valid queries
+        pad_q = jnp.zeros((cfg.max_queries, self.index.dim), jnp.float32)
+        pad_qv = jnp.zeros((cfg.max_queries,), bool)
+        rows = [
+            _pad_request(qe, cfg.max_queries, self.index.dim)
+            for qe in query_embs_list
+        ] + [(pad_q, pad_qv)] * (R_pad - R)
+        q = jnp.stack([r[0] for r in rows])
+        qv = jnp.stack([r[1] for r in rows])
         q_terms = None
         with_terms = False
         if cfg.use_bm25 and self.index.sparse is not None:
@@ -794,15 +813,13 @@ class QueryEngine:
             term_rows = []
             for r in range(R_pad):
                 if r >= R:
-                    texts = []                     # request-axis padding
-                elif (query_texts_list is not None
-                        and r < len(query_texts_list)
-                        and query_texts_list[r] is not None):
-                    texts = list(query_texts_list[r])
+                    # request-axis padding: all-empty, scores nothing
+                    texts = [""] * cfg.max_queries
                 else:
-                    texts = [question]
-                texts = texts[: cfg.max_queries]
-                texts += [""] * (cfg.max_queries - len(texts))
+                    qt = (query_texts_list[r]
+                          if query_texts_list is not None
+                          and r < len(query_texts_list) else None)
+                    texts = _bm25_texts(qt, question, cfg.max_queries)
                 term_rows.append(encode_queries(texts, vocab_bits=vb))
             q_terms = jnp.stack([jnp.asarray(t) for t in term_rows])
             with_terms = True
@@ -811,7 +828,7 @@ class QueryEngine:
                 "SearchConfig.use_ivf requires QueryEngine.build_ivf() first"
             )
         fused = search_many_device(
-            self.index, jnp.asarray(q), jnp.asarray(qv), dm, dv, cfg,
+            self.index, q, qv, dm, dv, cfg,
             q_terms, self.ivf if cfg.use_ivf else None, row_slot,
             ws, wl, slot_doc, window=self.window, with_terms=with_terms,
         )

@@ -509,6 +509,29 @@ def test_search_many_matches_individual(engine, rng, method, use_bm25):
         _assert_cands_equal(got, want)
 
 
+def test_search_many_empty_texts_and_device_queries(engine, rng):
+    """Two regressions: an EXPLICIT empty query_texts list must take the
+    same question-fallback as search() (falsy, not 'use as-is'), and
+    device-resident jax.Array query embeddings must batch without a host
+    round-trip and still match search()."""
+    import jax.numpy as jnp
+
+    eng, reports, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10,
+                       use_bm25=True, max_queries=4)
+    reqs = [jnp.asarray(_q_for(embs, 0, 5, rng)),
+            jnp.asarray(_q_for(embs, 1, 3, rng))]
+    texts = [[], None]  # [] must behave exactly like None
+    batched = eng.search_many(
+        reqs, "金盘科技", question="营业收入是多少",
+        cfg=cfg, query_texts_list=texts,
+    )
+    for qe, qt, got in zip(reqs, texts, batched):
+        want = eng.search(qe, "金盘科技", question="营业收入是多少",
+                          cfg=cfg, query_texts=qt)
+        _assert_cands_equal(got, want)
+
+
 def test_search_many_single_request(engine, rng):
     eng, reports, embs = engine
     cfg = SearchConfig(method="basic", top_k=5, top_n=10)

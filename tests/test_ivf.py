@@ -280,11 +280,11 @@ def test_probe_span_scores_matches_gather(rng):
 def test_ivf_search_routing_modes_agree(rng):
     """mask / win-range / kernel impl all return the same rows+scores on a
     contiguous-doc corpus."""
-    x, _ = _clustered_data(rng, n_clusters=8, per=128, d=32)
+    x, _ = _clustered_data(rng, n_clusters=8, per=128, d=128)
     N = len(x)                          # 1024, two 512-row "documents"
     idx = build_ivf(jnp.asarray(x), n_clusters=8, iters=8, max_list_size=256)
     assert idx.list_align >= 32 and idx.list_row_min is not None
-    q = x[rng.choice(N, 6)] + 0.01 * rng.normal(size=(6, 32)).astype(np.float32)
+    q = x[rng.choice(N, 6)] + 0.01 * rng.normal(size=(6, 128)).astype(np.float32)
     q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
 
     # route queries 0-2 to doc A (rows < 512), 3-5 to doc B
@@ -316,7 +316,7 @@ def test_ivf_search_pair_doc_mode(rng):
     from rag_challenge_2_tpu.index.ivf import cluster_order_index
     from rag_challenge_2_tpu.index.schema import CorpusIndex
 
-    x, _ = _clustered_data(rng, n_clusters=8, per=128, d=32)
+    x, _ = _clustered_data(rng, n_clusters=8, per=128, d=128)
     N = len(x)
     rows = np.arange(N, dtype=np.int32)
     doc_id = (rows // 512).astype(np.int32)
@@ -326,14 +326,14 @@ def test_ivf_search_pair_doc_mode(rng):
         company_id=jnp.zeros((N,), jnp.int32), kind=jnp.zeros((N,), jnp.int32),
         page_seg=jnp.asarray(rows // 3), chunk_in_doc=jnp.asarray(rows % 512),
         valid=jnp.ones((N,), bool), sparse=None,
-        n_chunks=N, n_pages=N // 3, n_docs=2, dim=32,
+        n_chunks=N, n_pages=N // 3, n_docs=2, dim=128,
     )
     ivf = build_ivf(jnp.asarray(x), n_clusters=8, iters=8, max_list_size=256)
     idx_co, _, ivf_co = cluster_order_index(idx0, None, ivf)
     assert ivf_co.cluster_doc is not None
     P = ivf_co.emb_perm.shape[0]
 
-    q = x[rng.choice(N, 6)] + 0.01 * rng.normal(size=(6, 32)).astype(np.float32)
+    q = x[rng.choice(N, 6)] + 0.01 * rng.normal(size=(6, 128)).astype(np.float32)
     q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
     pair_doc = np.array([0, 0, 0, 1, 1, -1], np.int32)
 
@@ -364,7 +364,7 @@ def test_cluster_order_index_out_of_range_doc_id(rng):
     from rag_challenge_2_tpu.index.ivf import cluster_order_index
     from rag_challenge_2_tpu.index.schema import CorpusIndex
 
-    x, _ = _clustered_data(rng, n_clusters=4, per=64, d=32)
+    x, _ = _clustered_data(rng, n_clusters=4, per=64, d=128)
     N = len(x)
     rows = np.arange(N, dtype=np.int32)
     doc_id = (rows // 100).astype(np.int32)   # 100∤256: last rows get id 2
@@ -376,7 +376,7 @@ def test_cluster_order_index_out_of_range_doc_id(rng):
         company_id=jnp.zeros((N,), jnp.int32), kind=jnp.zeros((N,), jnp.int32),
         page_seg=jnp.asarray(rows // 3), chunk_in_doc=jnp.asarray(rows % 100),
         valid=jnp.ones((N,), bool), sparse=None,
-        n_chunks=N, n_pages=N // 3, n_docs=n_docs, dim=32,
+        n_chunks=N, n_pages=N // 3, n_docs=n_docs, dim=128,
     )
     ivf = build_ivf(jnp.asarray(x), n_clusters=4, iters=4, max_list_size=128)
     idx_co, _, ivf_co = cluster_order_index(idx0, None, ivf)   # must not raise
@@ -400,7 +400,7 @@ def test_ivf_search_guards(rng):
 
     import pytest
 
-    x, _ = _clustered_data(rng, n_clusters=4, per=64, d=32)
+    x, _ = _clustered_data(rng, n_clusters=4, per=64, d=128)
     ivf = build_ivf(jnp.asarray(x), n_clusters=4, iters=4, max_list_size=128)
     q = jnp.asarray(x[:2])
     ws = jnp.asarray([0, 0], jnp.int32)
@@ -420,3 +420,20 @@ def test_ivf_search_guards(rng):
     mask = jnp.ones((ivf.emb_perm.shape[0],), bool)
     with pytest.raises(ValueError, match="mask routing"):
         ivf_search(ivf, q, 5, nprobe=4, mask=mask, impl="pallas")
+
+
+def test_fast_path_rejects_unaligned_dim():
+    """Mosaic memref slices must be 128-lane-aligned along D: a D=64
+    index must NOT auto-route to the span kernel (regression — witnessed
+    as a remote-compile HTTP 500 'Slice shape along dimension 1 must be
+    aligned to tiling (128)' on the real chip)."""
+    from rag_challenge_2_tpu.ops.pallas_ivf import probe_fast_path_ok
+
+    rng = np.random.default_rng(0)
+    for dim, want in ((64, False), (128, True)):
+        x = rng.normal(size=(256, dim)).astype(np.float32)
+        ivf = build_ivf(jnp.asarray(x), n_clusters=8, iters=4)
+        assert probe_fast_path_ok(ivf, ivf.max_list) is want
+        # and the search still answers through the XLA fallback
+        v, r = ivf_search(ivf, jnp.asarray(x[:2]), 5, nprobe=8)
+        assert int(np.asarray(r)[0, 0]) == 0

@@ -134,6 +134,31 @@ def test_too_few_rows_raises(mesh):
         build_sharded_ivf(jnp.zeros((2, 8)), mesh, n_clusters=1)
 
 
+def test_narrow_probe_window(mesh):
+    """k exceeding nprobe·max_list: ivf_search returns min(k, P·W) columns
+    per shard, and the merge must clamp its reshape to that (regression —
+    this configuration used to crash with a reshape TypeError)."""
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(256, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = jnp.asarray(emb[:3] + 0.01)
+    sivf = build_sharded_ivf(jnp.asarray(emb), mesh, n_clusters=32, seed=0)
+    k = 10
+    assert 1 * sivf.max_list < k  # the regression's precondition
+    vals, rows = sharded_ivf_search(sivf, q, k, mesh, nprobe=1)
+    assert vals.shape == (3, k) and rows.shape == (3, k)
+    rows = np.asarray(rows)
+    vals = np.asarray(vals)
+    # every query probes 1 list on each of 4 shards → ≥4 real hits, the
+    # self row among them; padding slots are (-inf, -1)
+    for b in range(3):
+        real = rows[b] >= 0
+        assert real.sum() >= 4
+        assert b in rows[b][real]
+        assert np.all(np.diff(vals[b][real]) <= 1e-6)
+        assert np.all(rows[b][~real] == -1)
+
+
 def test_engine_hybrid_on_fully_sharded_index(mesh, rng):
     """The FULL engine graph (probe candidates + BM25 + fusion) over a
     row-sharded corpus + sharded CSR + ShardedIVF: at nprobe = K the
