@@ -99,11 +99,13 @@ def _pad_request(query_embs, max_q: int, dim: int):
     ``EmbeddingModel.embed_device``) are padded on device — no host
     round-trip on the serving hot path — and host arrays are padded
     host-side then uploaded once."""
-    B = min(query_embs.shape[0], max_q)
     if isinstance(query_embs, jax.Array):
+        B = min(query_embs.shape[0], max_q)
         return _pad_queries(query_embs[:B], max_q)
+    query_embs = np.asarray(query_embs, np.float32)  # lists accepted
+    B = min(query_embs.shape[0], max_q)
     q = np.zeros((max_q, dim), np.float32)
-    q[:B] = np.asarray(query_embs, np.float32)[:B]
+    q[:B] = query_embs[:B]
     qv = np.zeros((max_q,), bool)
     qv[:B] = True
     return jnp.asarray(q), jnp.asarray(qv)
