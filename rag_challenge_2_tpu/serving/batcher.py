@@ -20,6 +20,15 @@ eagerly once `max_batch` requests are waiting, and overflow beyond
 
 Semantics are identical to unbatched `QueryEngine.search` — parity is
 asserted field-for-field in tests/test_batcher.py.
+
+Win region (measured on v5e, hybrid dense+BM25+fusion, 8 queries/request):
+batching pays while per-dispatch overhead dominates the scan — 2.35× at
+10k rows (R=4), break-even ≈ 100k rows, 0.56× at 510k and 0.51× at 1.5M
+(one request already saturates HBM there, and vmapping the fusion stage
+adds work).  `WIN_MAX_ROWS` marks the measured break-even; enabling the
+batcher above it logs a warning (the reference-shaped deployment — a
+handful of annual reports, ~10k chunks — sits squarely in the win
+region).
 """
 
 from __future__ import annotations
@@ -31,6 +40,10 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..retrieval.engine import QueryEngine, SearchConfig
+
+# measured break-even corpus size (rows) for batched vs sequential
+# dispatches — see the module docstring for the sweep
+WIN_MAX_ROWS = 100_000
 
 
 class _Pending:
@@ -70,6 +83,17 @@ class MicroBatcher:
         self.engine = engine
         self.max_batch = max(1, int(max_batch))
         self.window_ms = float(window_ms)
+        n_rows = int(getattr(engine.index, "n_chunks", 0))
+        if n_rows > WIN_MAX_ROWS:
+            import warnings
+
+            warnings.warn(
+                f"micro-batching a {n_rows}-row corpus: measured below "
+                f"break-even past ~{WIN_MAX_ROWS} rows (one request "
+                "already saturates HBM; the vmapped fusion adds work) — "
+                "expect batching to REDUCE throughput at this scale",
+                stacklevel=2,
+            )
         self._lock = threading.Lock()
         self._groups: Dict[tuple, _Group] = {}
         # observability: dispatch count + request/batching totals

@@ -105,6 +105,17 @@ if "alias15k_p8" in which:
         train_cfg=TrainConfig(lr=3e-4, total_steps=15000))
     record("alias15k_p8", m, info)
 
+if "alias30k_p8" in which:
+    # 6x steps: 15k measured +0.035 over 5k (0.765) — does the curve
+    # keep paying at double the budget, or has it flattened?
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=30000, batch_size=64, seed=0,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.8),
+        train_cfg=TrainConfig(lr=3e-4, total_steps=30000))
+    record("alias30k_p8", m, info)
+
 for arm, qp, ap in (("qw5k_p5", 0.5, 0.0), ("alias5k_p5_qw5", 0.5, 0.5),
                     ("alias5k_p8_qw5", 0.5, 0.8)):
     if arm in which:
