@@ -724,6 +724,108 @@ def bench_ivf_10m(extras, N=10_000_000, D=1024, C=500_000, N_CENTERS=4096):
         f"nprobe={cfg.ivf_nprobe}): {qps:.1f} qps")
 
 
+def bench_microbatch_val(extras, N=10_200, D=1024, V_BITS=16, W=256, R=4):
+    """Cross-request micro-batching at its WIN shape (the val-set-size
+    corpus the reference deployment serves): R concurrent same-route
+    hybrid requests in one vmapped search_many_device dispatch vs R
+    sequential search_device calls.  The 1.5M hybrid section measures
+    the same ratio at scale, where batching loses (one request already
+    saturates HBM) — serving/batcher.py gates on the measured break-even
+    (~100k rows, DESIGN.md)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.schema import CorpusIndex, SparseIndex
+    from rag_challenge_2_tpu.ops.pallas_bm25 import dma_slack
+    from rag_challenge_2_tpu.retrieval.engine import (
+        SearchConfig, search_device, search_many_device,
+    )
+
+    N_DOCS, Q_BATCH, T = 6, 8, 64
+    key = jax.random.PRNGKey(1)
+    kq, ke, kc, kt, kqt = jax.random.split(key, 5)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def gen(k, n):
+        e = jax.random.normal(k, (n, D), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    emb = gen(ke, N).astype(jnp.bfloat16)
+    V = 1 << V_BITS
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, W + 1, size=V).astype(np.int64)
+    indptr = np.zeros(V + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    nnz_pad = -(-(nnz + dma_slack(W)) // 1024) * 1024
+    sparse = SparseIndex(
+        indptr=jnp.asarray(indptr, jnp.int32),
+        chunk_ids=jax.random.randint(kc, (nnz_pad,), 0, N, jnp.int32),
+        tf=jax.random.randint(kt, (nnz_pad,), 1, 5, jnp.int32).astype(jnp.float32),
+        df=jnp.asarray(counts, jnp.float32),
+        chunk_len=jnp.full((N,), 300.0, jnp.float32),
+        avgdl=jnp.float32(300.0),
+        dl=jnp.full((nnz_pad,), 300.0, jnp.float32),
+        vocab_bits=V_BITS, max_postings=W, dma_pad=nnz_pad - nnz,
+    )
+    rows = jnp.arange(N, dtype=jnp.int32)
+    per_doc = N // N_DOCS
+    doc_id = rows // per_doc
+    idx = CorpusIndex(
+        emb=emb, doc_id=doc_id, page=rows % 500 + 1,
+        year=2020 + doc_id, company_id=jnp.zeros((N,), jnp.int32),
+        kind=jnp.zeros((N,), jnp.int32), page_seg=rows // 4,
+        chunk_in_doc=rows % per_doc, valid=jnp.ones((N,), bool),
+        sparse=sparse, n_chunks=N, n_pages=N // 4, n_docs=N_DOCS, dim=D,
+    )
+    doc_masks = jnp.stack([doc_id == d for d in range(N_DOCS)])
+    doc_valid = jnp.asarray([True, True, True, False, False, False])
+    row_slot = jnp.where(doc_id < 3, doc_id, N_DOCS).astype(jnp.int32)
+    ws = jnp.arange(N_DOCS, dtype=jnp.int32) * per_doc
+    wl = jnp.full((N_DOCS,), per_doc, jnp.int32)
+    q = gen(kq, Q_BATCH).astype(jnp.bfloat16)
+    qv = jnp.ones((Q_BATCH,), bool)
+    qt = jax.random.randint(kqt, (Q_BATCH, T), 0, V, jnp.int32)
+    cfg = SearchConfig(method="basic", top_k=30, max_queries=Q_BATCH,
+                       max_docs=N_DOCS, top_n=30, use_bm25=True, bm25_top_k=30)
+
+    def one():
+        c, _ = search_device(idx, q, qv, doc_masks, doc_valid, cfg, qt,
+                             None, row_slot, ws, wl, window=per_doc)
+        return c
+
+    qm = jnp.broadcast_to(q, (R,) + q.shape)
+    qvm = jnp.broadcast_to(qv, (R,) + qv.shape)
+    qtm = jnp.broadcast_to(qt, (R,) + qt.shape)
+
+    def many():
+        return search_many_device(idx, qm, qvm, doc_masks, doc_valid, cfg,
+                                  qtm, None, row_slot, ws, wl,
+                                  window=per_doc, with_terms=True)
+
+    sync(one().score)
+    sync(many().score)
+    reps = 40
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for _ in range(R):
+            out = one()
+    sync(out.score)
+    seq_s = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        outm = many()
+    sync(outm.score)
+    mb_s = (time.perf_counter() - t0) / reps
+    extras["microbatch_val_speedup"] = round(seq_s / mb_s, 2)
+    extras["microbatch_val_qps"] = round(R * Q_BATCH / mb_s, 1)
+    log(f"micro-batch at val shape ({N} rows, R={R}): sequential "
+        f"{seq_s * 1e3:.1f} ms vs batched {mb_s * 1e3:.1f} ms -> "
+        f"{seq_s / mb_s:.2f}x")
+
+
 def bench_traversal(extras):
     """Graph-traversal methods at the val-set shape: batched on-device hop
     loops (retrieval/traversal.py) vs the reference's sequential per-hop
@@ -1099,6 +1201,7 @@ def main():
         ("hybrid", bench_hybrid_at_scale),
         ("int8_10m", bench_int8_10m),
         ("ivf_10m", bench_ivf_10m),
+        ("microbatch_val", bench_microbatch_val),
         ("traversal", bench_traversal),
         ("traversal_1m", bench_traversal_1m),
         ("qa_warm", bench_qa_warm),

@@ -22,8 +22,9 @@ Semantics are identical to unbatched `QueryEngine.search` — parity is
 asserted field-for-field in tests/test_batcher.py.
 
 Win region (measured on v5e, hybrid dense+BM25+fusion, 8 queries/request):
-batching pays while per-dispatch overhead dominates the scan — 2.35× at
-10k rows (R=4), break-even ≈ 100k rows, 0.56× at 510k and 0.51× at 1.5M
+batching pays while per-dispatch overhead dominates the scan — 1.25–2.35×
+at 10k rows (R=4; the win is amortized dispatch round trips, so it moves
+with relay RTT), break-even ≈ 100k rows, 0.56× at 510k and 0.51× at 1.5M
 (one request already saturates HBM there, and vmapping the fusion stage
 adds work).  `WIN_MAX_ROWS` marks the measured break-even; enabling the
 batcher above it logs a warning (the reference-shaped deployment — a
