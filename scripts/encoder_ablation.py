@@ -105,6 +105,26 @@ if "alias15k_p8" in which:
         train_cfg=TrainConfig(lr=3e-4, total_steps=15000))
     record("alias15k_p8", m, info)
 
+if "alias15k_p8_cont" in which:
+    # 30k-equivalent budget at 1/2 the cost: continue the saved 15k-arm
+    # params (/tmp/enc_alias15k_p8.npz) for 15k more alias-recipe steps
+    # at a lower lr — answers "does the curve keep paying past 15k?"
+    import os
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel
+    from rag_challenge_2_tpu.models.pretrain import load_params
+
+    base_path = os.environ.get("ENC_BASE", "/tmp/enc_alias15k_p8.npz")
+    base_model = load_params(EmbeddingModel(cfg), base_path)
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=15000, batch_size=64, seed=2,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.8),
+        train_cfg=TrainConfig(lr=1e-4, total_steps=15000),
+        init_params=base_model.params,
+    )
+    record("alias15k_p8_cont", m, info)
+
 if "alias30k_p8" in which:
     # 6x steps: 15k measured +0.035 over 5k (0.765) — does the curve
     # keep paying at double the budget, or has it flattened?
