@@ -795,17 +795,30 @@ class QueryEngine:
         if R == 0:
             return []
         R_pad = 1 << (R - 1).bit_length()
-        # per-request padding through the SAME helper as search(): device
-        # arrays (pipeline.query_embedder's embed_device output) stay on
-        # device; the request-axis pad rows carry no valid queries
-        pad_q = jnp.zeros((cfg.max_queries, self.index.dim), jnp.float32)
-        pad_qv = jnp.zeros((cfg.max_queries,), bool)
-        rows = [
-            _pad_request(qe, cfg.max_queries, self.index.dim)
-            for qe in query_embs_list
-        ] + [(pad_q, pad_qv)] * (R_pad - R)
-        q = jnp.stack([r[0] for r in rows])
-        qv = jnp.stack([r[1] for r in rows])
+        if any(isinstance(qe, jax.Array) for qe in query_embs_list):
+            # device-resident inputs (pipeline.query_embedder's
+            # embed_device output): pad each request on device via the
+            # same helper as search() — no host round-trip
+            pad_q = jnp.zeros((cfg.max_queries, self.index.dim), jnp.float32)
+            pad_qv = jnp.zeros((cfg.max_queries,), bool)
+            rows = [
+                _pad_request(qe, cfg.max_queries, self.index.dim)
+                for qe in query_embs_list
+            ] + [(pad_q, pad_qv)] * (R_pad - R)
+            q = jnp.stack([r[0] for r in rows])
+            qv = jnp.stack([r[1] for r in rows])
+        else:
+            # all-host batch: ONE bulk buffer + single upload — per-request
+            # device puts would add R relay round trips to the exact path
+            # micro-batching exists to amortize
+            q_np = np.zeros((R_pad, cfg.max_queries, self.index.dim), np.float32)
+            qv_np = np.zeros((R_pad, cfg.max_queries), bool)
+            for r, qe in enumerate(query_embs_list):
+                qe = np.asarray(qe, np.float32)
+                B = min(qe.shape[0], cfg.max_queries)
+                q_np[r, :B] = qe[:B]
+                qv_np[r, :B] = True
+            q, qv = jnp.asarray(q_np), jnp.asarray(qv_np)
         q_terms = None
         with_terms = False
         if cfg.use_bm25 and self.index.sparse is not None:

@@ -137,9 +137,11 @@ class MicroBatcher:
     ):
         """Drop-in for ``QueryEngine.search(..., with_details=False)``."""
         key = self._group_key(company, question, selected_years, cfg)
-        if query_texts is None and cfg.use_bm25:
-            # bind the per-request BM25 fallback HERE: inside a batch the
-            # engine's [question] default would be the leader's question
+        if not query_texts and cfg.use_bm25:
+            # bind the per-request BM25 fallback HERE (None AND empty —
+            # the engine treats both as falsy): inside a batch the
+            # engine's [question] default would be the LEADER's question,
+            # cross-request contamination for every follower
             query_texts = [question]
         item = _Pending(query_embs, query_texts)
         with self._lock:

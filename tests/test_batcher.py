@@ -68,6 +68,50 @@ def test_batched_parity_under_threads(engine, rng):
     assert 1 <= batcher.stats["dispatches"] <= 4
 
 
+def test_empty_texts_bind_own_question(engine, rng):
+    """A follower whose query_texts is an EXPLICIT empty list must BM25-
+    score its OWN question, not the batch leader's (regression: the
+    engine's falsy fallback inside a batch resolves to the leader's
+    question — the batcher must bind [] per-request like None)."""
+    eng, embs = engine
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10, use_bm25=True)
+    batcher = MicroBatcher(eng, max_batch=2, window_ms=50.0)
+    q_lead = _q_for(embs, 0, 5, rng)
+    q_follow = _q_for(embs, 1, 3, rng)
+    lead_question = "doc0 chunk5 营业收入"
+    follow_question = "doc1 chunk3 毛利率"
+    got = {}
+    errs = []
+
+    def lead():
+        try:
+            got["lead"] = batcher.search(
+                q_lead, "金盘科技", question=lead_question, cfg=cfg
+            )
+        except BaseException as e:  # pragma: no cover
+            errs.append(e)
+
+    def follow():
+        try:
+            got["follow"] = batcher.search(
+                q_follow, "金盘科技", question=follow_question, cfg=cfg,
+                query_texts=[],
+            )
+        except BaseException as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=lead), threading.Thread(target=follow)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # unbatched search([]) falls back to the request's OWN question
+    want = eng.search(q_follow, "金盘科技", question=follow_question,
+                      cfg=cfg, query_texts=[])
+    _same(got["follow"], want)
+
+
 def test_single_request_passthrough(engine, rng):
     eng, embs = engine
     cfg = SearchConfig(method="basic", top_k=5, top_n=10)
