@@ -215,6 +215,68 @@ def eval_bm25(ds: QualityDataset, k: int = 10, vocab_bits: int = 18) -> Dict[str
     return retrieval_metrics(scores, ds, k=k)
 
 
+def eval_hybrid(
+    embed_fn, ds: QualityDataset, k: int = 10, vocab_bits: int = 18,
+    top_n: int = 30,
+) -> Dict[str, float]:
+    """The PRODUCT path: dense + BM25 fused through the real serving graph.
+
+    ``eval_dense`` and ``eval_bm25`` measure each scorer alone on full
+    score matrices; what the framework actually serves is their fusion
+    (retrieval/engine.search: per-query BM25 max-normalization +
+    ``fuse_hits`` method-diversity bonus — reference src/retrieval.py
+    :1639-1661).  This builds a one-document CorpusIndex over the quality
+    corpus (unrouted, matching the full-matrix evals) and runs every
+    held-out paraphrase query through ``QueryEngine.search_many`` with
+    ``use_bm25=True``.
+
+    MRR is truncated at ``top_n`` (rank > top_n contributes 0) — the
+    serving graph only returns the aggregated top-n, so the number is a
+    lower bound on the full-ranking MRR the other evals report.
+    """
+    from ..index.build import build_corpus_index
+    from ..retrieval.engine import QueryEngine, SearchConfig
+
+    ce = np.asarray(embed_fn(ds.chunk_texts), np.float32)
+    qe = np.asarray(embed_fn(ds.queries), np.float32)
+    rep = {
+        "metainfo": {"sha1_name": "quality", "company_name": "quality"},
+        "content": {
+            "pages": [],
+            # one page per chunk: parent-page aggregation must not merge
+            # distinct facts into one key
+            "chunks": [
+                {"page": i, "text": t, "id": i, "type": "content"}
+                for i, t in enumerate(ds.chunk_texts)
+            ],
+        },
+    }
+    index, meta = build_corpus_index([rep], [ce], vocab_bits=vocab_bits)
+    eng = QueryEngine(index, meta)
+    cfg = SearchConfig(
+        method="basic", use_bm25=True, top_n=top_n, top_k=top_n,
+        bm25_top_k=top_n, max_queries=1, max_docs=1,
+    )
+    cands = eng.search_many(
+        [qe[i : i + 1] for i in range(len(ds.queries))],
+        company="quality",
+        query_texts_list=[[q] for q in ds.queries],
+        cfg=cfg,
+    )
+    hits, rr = 0.0, 0.0
+    for qi, c in enumerate(cands):
+        gold = set(ds.gold_rows(ds.gold_fact[qi]))
+        rows = [int(r) for r in np.asarray(c.key) if r >= 0]
+        if gold & set(rows[:k]):
+            hits += 1
+        for rank, row in enumerate(rows, start=1):
+            if row in gold:
+                rr += 1.0 / rank
+                break
+    n = len(ds.queries)
+    return {f"hit@{k}": round(hits / n, 4), "mrr": round(rr / n, 4)}
+
+
 def run_quality_eval(
     ict_steps: int = 5000,
     supervised_steps: int = 2000,
@@ -244,6 +306,12 @@ def run_quality_eval(
     random_model = EmbeddingModel(cfg, seed=seed)
     results["encoder_random_init"] = eval_dense(random_model.embed, ds)
     log(f"random-init encoder: {results['encoder_random_init']}")
+
+    # the served fusion with a useless dense arm: does BM25's quality
+    # survive the method-diversity bonus handing noise hits a boost?
+    results["hybrid_random_init"] = eval_hybrid(random_model.embed, ds)
+    log(f"hybrid (random encoder + bm25, real serving graph): "
+        f"{results['hybrid_random_init']}")
 
     ict_only, info = pretrain_encoder(
         ds.chunk_texts,
@@ -303,6 +371,12 @@ def run_quality_eval(
     log(f"unsupervised + bm25-distill + alias swap (the default) "
         f"{ict_steps} steps (final {info['final']}): "
         f"{results['encoder_alias_distill']}")
+
+    # what config 2/4 actually ship: the default label-free encoder fused
+    # with BM25 in the one-graph serving path
+    results["hybrid_alias_distill"] = eval_hybrid(alias_distill.embed, ds)
+    log(f"hybrid (default label-free encoder + bm25, real serving graph): "
+        f"{results['hybrid_alias_distill']}")
 
     # LISTWISE BM25 distillation (models/pretrain.py soft_target_weight):
     # instead of swapping the single positive for BM25's argmax, every

@@ -67,3 +67,37 @@ def test_bm25_baseline_is_strong_on_lexical_overlap():
     # company + year tokens overlap exactly — the lexical baseline must be
     # credible or beating it means nothing
     assert m["hit@10"] >= 0.8
+
+
+def test_eval_hybrid_serving_graph_plumbing():
+    """eval_hybrid routes the quality corpus through the REAL serving
+    graph (index build + engine fusion).  A cheap oracle embedder that
+    maps every chunk/query of a fact to the same one-hot direction must
+    yield perfect fused retrieval; row ids must survive the round trip."""
+    from rag_challenge_2_tpu.eval.encoder_quality import eval_hybrid
+
+    ds = build_dataset(n_eval=12, seed=5)
+    # one dim per fact — collisions would alias two facts onto the same
+    # direction and break the perfect-retrieval oracle
+    dim = -(-len(ds.fact_tuples) // 128) * 128
+    fact_dir = {}
+
+    def embed(texts):
+        out = np.zeros((len(texts), dim), np.float32)
+        text_fact = {}
+        for i, f in enumerate(ds.fact_of_chunk):
+            text_fact[ds.chunk_texts[i]] = f
+        for qi, f in enumerate(ds.gold_fact):
+            text_fact[ds.queries[qi]] = f
+        for i, t in enumerate(texts):
+            f = text_fact.get(t, -1)
+            if f >= 0:
+                j = fact_dir.setdefault(f, len(fact_dir))
+                out[i, j] = 1.0
+            else:  # glossary chunks: orthogonal-ish noise, never gold
+                out[i, (hash(t) % (dim - 1)) + 1] = 0.1
+        return out
+
+    m = eval_hybrid(embed, ds, k=10)
+    assert m["hit@10"] == 1.0
+    assert m["mrr"] > 0.3
