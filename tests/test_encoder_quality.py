@@ -95,7 +95,11 @@ def test_eval_hybrid_serving_graph_plumbing():
                 j = fact_dir.setdefault(f, len(fact_dir))
                 out[i, j] = 1.0
             else:  # glossary chunks: orthogonal-ish noise, never gold
-                out[i, (hash(t) % (dim - 1)) + 1] = 0.1
+                # crc32, not hash(): PYTHONHASHSEED randomizes hash() per
+                # process and would make the oracle non-deterministic
+                import zlib
+
+                out[i, (zlib.crc32(t.encode()) % (dim - 1)) + 1] = 0.1
         return out
 
     m = eval_hybrid(embed, ds, k=10)
