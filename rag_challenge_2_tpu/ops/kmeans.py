@@ -42,6 +42,52 @@ def _update_centroids(x, assign, old_centroids, k):
     return jnp.where(counts[:, None] > 0, new, old_centroids), counts
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _assign_batched(xs, cent, k):
+    half = 0.5 * jnp.sum(cent * cent, axis=2)                  # [G, k]
+    scores = jnp.einsum(
+        "gnd,gkd->gnk", xs, cent, preferred_element_type=jnp.float32
+    ) - half[:, None, :]
+    return jnp.argmax(scores, axis=2).astype(jnp.int32)        # [G, n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_batched_iters(xs, cent, k: int, iters: int):
+    def body(c, _):
+        a = _assign_batched(xs, c, k)
+        onehot = jax.nn.one_hot(a, k, dtype=jnp.float32)       # [G, n, k]
+        sums = jnp.einsum("gnk,gnd->gkd", onehot, xs)
+        counts = jnp.sum(onehot, axis=1)                       # [G, k]
+        new = sums / jnp.maximum(counts, 1.0)[:, :, None]
+        return jnp.where(counts[:, :, None] > 0, new, c), None
+
+    cent, _ = jax.lax.scan(body, cent, None, length=iters)
+    return cent, _assign_batched(xs, cent, k)
+
+
+def kmeans_batched(
+    xs: jax.Array, k: int, iters: int = 10, seed: int = 0
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd's over G independent small problems at once.
+
+    ``xs``: [G, n, D] → (centroids [G, k, D], assignments [G, n]).
+    One dispatch replaces G sequential :func:`kmeans` calls — built for
+    IVF list balancing, where hundreds of oversized clusters each need a
+    tiny sub-k-means and per-cluster dispatch round trips dominated the
+    1M build (measured 111 s of a 134 s build; index/ivf._balance_clusters).
+    """
+    G, n, D = xs.shape
+    rng = np.random.default_rng(seed)
+    k = min(k, n)
+    init = np.stack([
+        rng.choice(n, size=k, replace=False) for _ in range(G)
+    ]).astype(np.int32)
+    cent0 = jnp.take_along_axis(
+        xs, jnp.asarray(init)[:, :, None], axis=1
+    ).astype(jnp.float32)
+    return _kmeans_batched_iters(xs, cent0, k=k, iters=iters)
+
+
 def kmeans(
     x: jax.Array,
     k: int,

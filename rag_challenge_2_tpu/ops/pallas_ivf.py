@@ -78,6 +78,15 @@ def _make_kernel(w_rows: int, P: int, acc_dtype):
                 scr[pl.ds(j * w_rows, w_rows), :],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dtype,
+                # f32 stores MUST score at full precision: the MXU's
+                # default bf16-mantissa passes reorder near-ties and cost
+                # measured recall vs the XLA scan path (r03 IVF-1M
+                # regression: 0.9732 vs 0.9992 @ nprobe=8, same index —
+                # scripts/ivf_regression_probe.py).  The probe is
+                # DMA-bound, so the extra MXU passes are hidden.  int8
+                # stores accumulate exactly in int32 either way.
+                precision=(jax.lax.Precision.HIGHEST
+                           if acc_dtype == jnp.float32 else None),
             )
             out_ref[pl.ds(j, 1), 0, :] = acc.astype(jnp.float32)
 
