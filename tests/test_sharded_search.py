@@ -51,6 +51,51 @@ def test_sharded_uneven_rows(rng):
 
 
 @needs_devices
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_hierarchical_matches_flat_and_oracle(rng, shape):
+    """Two-level ICI/DCN merge (slice × device mesh) must be bit-identical
+    to the flat merge AND the single-device kernel — including ties
+    (SURVEY §5: all_gather over ICI within a slice, DCN across slices)."""
+    from rag_challenge_2_tpu.parallel.sharded_search import (
+        hierarchical_dense_topk)
+
+    n_slices, n_dev = shape
+    mesh = make_mesh({"slice": n_slices, "device": n_dev})
+    flat_mesh = make_mesh({"data": 8})
+    N, D, B, k = 4096, 64, 4, 10
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    emb = rng.normal(size=(N, D)).astype(np.float32)
+    emb[100] = emb[200]  # planted exact tie — both merges must pick row 100
+    emb = jnp.asarray(emb)
+    hv, hi = hierarchical_dense_topk(q, emb, k, mesh)
+    fv, fi = sharded_dense_topk(q, emb, k, flat_mesh)
+    xv, xi = dense_topk(q, emb, k, impl="xla")
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(xv), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(hi) == np.asarray(fi)).all(), "hier == flat incl. ties"
+    assert (np.asarray(hi) == np.asarray(xi)).all(), "hier == single-device"
+
+
+@needs_devices
+def test_hierarchical_int8_and_mask(rng):
+    from rag_challenge_2_tpu.ops.quant import quantize_rows
+    from rag_challenge_2_tpu.parallel.sharded_search import (
+        hierarchical_dense_topk)
+
+    mesh = make_mesh({"slice": 2, "device": 4})
+    N, D, B, k = 1001, 32, 3, 8      # uneven rows: exercises the pad path
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    mask = jnp.asarray(rng.random(N) > 0.5)
+    q8, sc = quantize_rows(emb)
+    hv, hi = hierarchical_dense_topk(q, q8, k, mesh, mask=mask, row_scale=sc)
+    assert np.asarray(mask)[np.asarray(hi)].all()
+    flat_mesh = make_mesh({"data": 8})
+    fv, fi = sharded_dense_topk(q, q8, k, flat_mesh, mask=mask, row_scale=sc)
+    assert (np.asarray(hi) == np.asarray(fi)).all()
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(fv), rtol=1e-6)
+
+
+@needs_devices
 def test_engine_search_with_row_sharded_index(tiny_corpus, rng):
     """The full jitted query pipeline (search_device) runs with the corpus
     embedding matrix row-sharded over a mesh — GSPMD propagates the
