@@ -32,7 +32,8 @@ import numpy as np
 from ..index.schema import CorpusIndex, CorpusMeta
 from ..ops.aggregate import FusedCandidates, fuse_hits
 from ..ops.topk import LARGE_TOPK_MIN_COLS, NEG_INF
-from .traversal import emit_hits, traverse, traverse_windowed
+from .traversal import (
+    CAND_RECORD, TraversalResult, emit_hits, traverse, traverse_windowed)
 
 METHOD_IDS = {"basic": 0, "ssg": 1, "triangulation": 2, "bm25": 3}
 
@@ -44,8 +45,12 @@ HYBRID_TRI_ANCHORS = 20
 # Windowed traversal slices each doc's rows once ([M, W, D] copies of the
 # corpus, traversal.traverse_windowed) — a ~6× hop speedup at the val-set
 # shape, but at 10M-row/1.67M-window corpora those slices total a full
-# corpus duplicate in HBM.  Above this copy budget the engine falls back
-# to the masked full-corpus `traverse` (identical results, no copy).
+# corpus duplicate in HBM.  Above this copy budget the engine traverses
+# PER SLOT instead (sequential lax.cond over doc slots, one transient
+# [1, W, D] window alive at a time — peak copy M× smaller, and unrouted
+# slots skip their hops entirely); results stay identical.  Only when a
+# single window already exceeds the budget does it fall back to the
+# masked full-corpus `traverse`.
 TRAVERSAL_WINDOW_COPY_CAP = 4 << 30
 
 
@@ -165,10 +170,16 @@ def search_device(
     details: Dict = {}
     use_window = window > 0 and win_start is not None and win_len is not None
     # traversal's per-doc window COPIES are budgeted (pair_topk's windowed
-    # top-k only slices the score matrix and stays on regardless)
+    # top-k only slices the score matrix and stays on regardless): stacked
+    # [M, W, D] windows under the cap, sequential per-slot [1, W, D]
+    # windows above it (see TRAVERSAL_WINDOW_COPY_CAP)
     use_window_trav = (
         use_window
         and M * window * D * emb.dtype.itemsize <= TRAVERSAL_WINDOW_COPY_CAP
+    )
+    use_window_seq = (
+        use_window and not use_window_trav
+        and window * D * emb.dtype.itemsize <= TRAVERSAL_WINDOW_COPY_CAP
     )
 
     # (query, doc) anchor grid: A = Q*M
@@ -362,6 +373,51 @@ def search_device(
             )
             qids = jnp.tile(jnp.repeat(jnp.arange(Q, dtype=jnp.int32), n), M)
             return res, qids, qv_g.reshape(M * Q * n, D)
+        if use_window_seq:
+            # million-row documents: one slot's window at a time — the
+            # stacked [M, W, D] copy above would exceed the HBM budget,
+            # and the masked full-corpus fallback below reads all N rows
+            # per hop per (query, doc) pair (measured 10.8 qps at 1.5M
+            # rows).  Sequential slots keep the windowed hop cost
+            # ([Q·n, W] vs [Q·M·n, N] ≈ M× fewer reads) with a single
+            # transient window alive, and lax.cond skips unrouted slots
+            # entirely — the same per-slot design as pair_topk.
+            a_g = anchors_pm.reshape(Q, M, n).transpose(1, 0, 2)   # [M, Q, n]
+            qv_g1 = jnp.broadcast_to(
+                q.reshape(1, Q, 1, D), (1, Q, n, D)
+            ).reshape(1, Q * n, D)
+            H1 = cfg.max_hops + 1
+            R = min(CAND_RECORD, cfg.neighbor_k + 1)
+            A1 = Q * n
+
+            def skip_m():
+                return TraversalResult(
+                    path=jnp.full((A1, H1), -1, jnp.int32),
+                    valid=jnp.zeros((A1, H1), bool),
+                    hop_score=jnp.zeros((A1, H1), jnp.float32),
+                    cand_ids=jnp.full((A1, cfg.max_hops, R), -1, jnp.int32),
+                    cand_scores=jnp.zeros((A1, cfg.max_hops, R), jnp.float32),
+                )
+
+            parts = []
+            for m in range(M):
+                def run_m(m=m):
+                    return traverse_windowed(
+                        emb, a_g[m].reshape(1, Q * n), qv_g1,
+                        win_start[m : m + 1], win_len[m : m + 1],
+                        index.emb_scale, window=window,
+                        max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k,
+                        mode=mode,
+                    )
+                parts.append(jax.lax.cond(doc_valid[m], run_m, skip_m))
+            res = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, 0), *parts
+            )
+            qids = jnp.tile(jnp.repeat(jnp.arange(Q, dtype=jnp.int32), n), M)
+            qv_flat = jnp.broadcast_to(
+                q.reshape(1, Q, 1, D), (M, Q, n, D)
+            ).reshape(M * Q * n, D)
+            return res, qids, qv_flat
         qv = jnp.repeat(q_pair, n, axis=0)
         res = traverse(
             emb, anchors_pm.reshape(-1), qv,

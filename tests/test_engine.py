@@ -311,6 +311,30 @@ def test_traversal_window_copy_cap_fallback(engine, rng, monkeypatch):
         assert a["method_count"] == b["method_count"]
 
 
+@pytest.mark.parametrize("method", ["ssg", "triangulation", "hybrid_expansion"])
+def test_traversal_per_slot_seq_parity(engine, rng, method, monkeypatch):
+    """Between one window and M windows of copy budget the engine must run
+    the per-slot sequential traversal (the 1M+/10M-row regime) — identical
+    results to the stacked windowed path."""
+    import rag_challenge_2_tpu.retrieval.engine as eng_mod
+
+    eng, reports, embs = engine
+    assert eng.window > 0
+    q = np.concatenate([_q_for(embs, 0, 5, rng), _q_for(embs, 1, 2, rng)])
+    # distinct shape (top_k=11) → fresh jit trace under the patched cap
+    cfg = SearchConfig(method=method, top_k=11, top_n=16,
+                       max_hops=3, neighbor_k=5)
+    base = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    one_window = eng.window * eng.index.dim * eng.index.emb.dtype.itemsize
+    monkeypatch.setattr(eng_mod, "TRAVERSAL_WINDOW_COPY_CAP", one_window)
+    seq = eng.materialize(eng.search(q, "金盘科技", cfg=cfg), cfg)
+    assert [r["rep_row"] for r in seq] == [r["rep_row"] for r in base]
+    for a, b in zip(seq, base):
+        assert abs(a["distance"] - b["distance"]) < 1e-4
+        assert a["hit_count"] == b["hit_count"]
+        assert a["method_count"] == b["method_count"]
+
+
 def test_windowed_pair_topk_large_route_parity(engine, rng, monkeypatch):
     """Forcing the windowed pair_topk through large_topk_from_scores (the
     10M-corpus route, W >= LARGE_TOPK_MIN_COLS) must be bit-identical to
