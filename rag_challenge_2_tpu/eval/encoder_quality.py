@@ -147,6 +147,101 @@ def build_dataset(
     )
 
 
+# --------------------------------------------------------- transfer corpus
+#
+# A SECOND, independently-shaped synthetic corpus: different industry
+# vocabulary, different sentence templates, different query shapes, and a
+# different definitional-sentence form.  Purpose: verify the label-free
+# alias-distill recipe is not fit to build_dataset's template vocabulary —
+# a recipe that only works on corpus #1 is an eval artifact, not a method.
+
+COMPANIES_V2 = [
+    "云帆航运", "磐石建材", "瀚海油服", "星桥传媒", "麦田生物", "青石酒业",
+    "凌云软件", "北辰物流", "晨曦医疗", "赤金矿业", "白浪渔业", "紫荆教育",
+    "远山旅游", "丰年农机", "银杏养老", "红帆化纤", "蓝鲸重工", "绿洲环保",
+]
+
+METRICS_V2: Dict[str, Tuple[str, List[str]]] = {
+    "总资产": ("亿元", ["资产总额", "资产规模"]),
+    "净资产收益率": ("%", ["ROE", "股东回报率"]),
+    "员工总数": ("人", ["在册员工数", "职工人数"]),
+    "合同负债": ("亿元", ["预收款项规模", "合同预收"]),
+    "市场占有率": ("%", ["市占率", "市场份额"]),
+    "产能利用率": ("%", ["开工率", "产线负荷率"]),
+    "分红总额": ("亿元", ["现金分红规模", "派息总额"]),
+    "销售费用率": ("%", ["销售费用占比", "营销开支比例"]),
+    "单位能耗": ("吨标煤", ["综合能耗强度", "能耗水平"]),
+    "门店数量": ("家", ["网点数量", "营业网点数"]),
+}
+
+_CHUNK_TEMPLATES_V2 = [
+    "截至{y}年末，{c}的{m}为{v}{u}，与行业平均水平基本相当。",
+    "{c}披露的{y}年经营数据显示：{m}{v}{u}，环比保持稳定。",
+    "年报附注提到，{c}{y}年{m}录得{v}{u}，审计机构出具标准无保留意见。",
+    "在{seg}需求回暖的背景下，{c}{y}年{m}达{v}{u}。",
+]
+
+_QUERY_TEMPLATES_V2 = [
+    "帮我查一下{c}在{y}年的{a}",
+    "{c}{y}年{a}有多少",
+    "想知道{y}年{c}的{a}是什么水平",
+]
+
+_SEGMENTS_V2 = ["集装箱运输", "基建材料", "海上钻井", "内容电商", "疫苗研发", "高端白酒"]
+
+# a DIFFERENT definitional form (still parenthesized — the shape real
+# filings use — but new connective wording and full-width parens only)
+_GLOSSARY_TEMPLATE_V2 = "说明：本报告中{m}（或称{a}）按合并报表口径计算。"
+
+
+def build_dataset_v2(
+    n_eval: int = 200, chunks_per_fact: int = 2, seed: int = 7
+) -> QualityDataset:
+    """The transfer eval: same construction recipe, disjoint vocabulary and
+    templates (see the section comment)."""
+    rng = np.random.default_rng(seed)
+    facts = [
+        (c, y, m) for c in COMPANIES_V2 for y in YEARS for m in METRICS_V2
+    ]  # 18 × 6 × 10 = 1080 facts
+    chunk_texts: List[str] = []
+    fact_of_chunk: List[int] = []
+    for fi, (c, y, m) in enumerate(facts):
+        unit, _ = METRICS_V2[m]
+        v = round(float(rng.uniform(1, 900)), 2)
+        for _ in range(chunks_per_fact):
+            t = _CHUNK_TEMPLATES_V2[int(rng.integers(0, len(_CHUNK_TEMPLATES_V2)))]
+            chunk_texts.append(t.format(
+                c=c, y=y, m=m, v=v, u=unit,
+                seg=_SEGMENTS_V2[int(rng.integers(0, len(_SEGMENTS_V2)))],
+            ))
+            fact_of_chunk.append(fi)
+    for m, (unit, aliases) in METRICS_V2.items():
+        for a in aliases:
+            chunk_texts.append(_GLOSSARY_TEMPLATE_V2.format(m=m, a=a))
+            fact_of_chunk.append(-1)
+
+    order = rng.permutation(len(facts))
+    eval_facts = sorted(int(f) for f in order[:n_eval])
+    train_facts = sorted(int(f) for f in order[n_eval:])
+    queries, gold = [], []
+    for fi in eval_facts:
+        c, y, m = facts[fi]
+        aliases = METRICS_V2[m][1]
+        a = aliases[int(rng.integers(0, len(aliases)))]
+        qt = _QUERY_TEMPLATES_V2[int(rng.integers(0, len(_QUERY_TEMPLATES_V2)))]
+        queries.append(qt.format(c=c, y=y, a=a))
+        gold.append(fi)
+    return QualityDataset(
+        chunk_texts=chunk_texts,
+        fact_of_chunk=fact_of_chunk,
+        train_facts=train_facts,
+        eval_facts=eval_facts,
+        queries=queries,
+        gold_fact=gold,
+        fact_tuples=facts,
+    )
+
+
 def paraphrase_pairs(
     ds: QualityDataset, n: int, rng: np.random.Generator
 ) -> Tuple[List[str], List[str]]:

@@ -97,6 +97,13 @@ class PretrainConfig:
     # (always-swapped queries lose the literal-wording anchor), 0.47 with
     # the swap off; question wrapping on top measured no gain (0.70).
     alias_swap_prob: float = 0.8
+    # BOTH-SIDES alias alignment: with this probability the PASSAGE view
+    # also has its terms alias-substituted (independently of the query
+    # swap).  The query-only swap teaches alias→term retrieval; swapping
+    # the passage too makes the positive pair span (term wording, alias
+    # wording) in BOTH directions — the multi-positive-view form of the
+    # same label-free lever.  0 = query-side only (the r3 default).
+    alias_swap_passage_prob: float = 0.0
     # doc2query-style question wrapping: serving queries are QUESTIONS
     # while corpus crops are declarative statements — a distribution gap
     # ICT/crops never bridge.  With this probability the query view is
@@ -144,7 +151,8 @@ _ALIAS_RE = re.compile(
 # boilerplate ("（亦称营收，下同）") — drop it, or the bidirectional swap
 # map would rewrite queries into junk.
 _TERM_PREFIX_RE = re.compile(
-    r"^(?:.*?20\d{2}年|.*?的|本公司|本集团|本行|该公司|即)")
+    r"^(?:.*?20\d{2}年|.*?的|本公司|本集团|本行|该公司|即"
+    r"|本报告中|本报告期内?|报告期内|本年度|本期)")
 _JUNK_ALIASES = {"下同", "同上", "下文同", "以下同", "以下简称", "见下文"}
 
 
@@ -268,7 +276,7 @@ class PairSampler:
             self._chunk_p = self._idf_weights(cfg)
         self._alias_map: Dict[str, List[str]] = {}
         self._alias_re: Optional[re.Pattern] = None
-        if cfg.alias_swap_prob > 0:
+        if cfg.alias_swap_prob > 0 or cfg.alias_swap_passage_prob > 0:
             for term, alias in mine_alias_pairs(self.texts):
                 self._alias_map.setdefault(term, []).append(alias)
                 self._alias_map.setdefault(alias, []).append(term)
@@ -407,6 +415,12 @@ class PairSampler:
                 if rng.random() < cfg.alias_swap_prob else q
                 for q in queries
             ]
+            if cfg.alias_swap_passage_prob > 0:
+                passages = [
+                    self._alias_swap(p, rng)
+                    if rng.random() < cfg.alias_swap_passage_prob else p
+                    for p in passages
+                ]
         # question wrapping likewise happens AFTER mining: the teacher
         # scored the raw (statement-shaped) crop, the model trains on the
         # interrogative framing — statement ↔ question alignment
@@ -464,6 +478,45 @@ def pretrain_encoder(
             })
     model = EmbeddingModel(enc_cfg, params=jax.device_get(params))
     return model, {"history": history, "final": history[-1] if history else {}}
+
+
+def ensemble_teacher(
+    chunk_texts: List[str],
+    dense_model: EmbeddingModel,
+    alpha: float = 0.5,
+    vocab_bits: int = 18,
+):
+    """A mining teacher mixing BM25 with a distilled dense model.
+
+    Stage-2 self-training with a dense-only teacher REGRESSES (measured:
+    0.47 → 0.325, docs/ENCODER_QUALITY.json encoder_selftrain — the dense
+    teacher's errors compound without lexical grounding).  The ensemble
+    keeps BM25 as the anchor: ``score = alpha·bm25_norm + (1−alpha)·dense``
+    with each component max-normalized per query, so the dense co-teacher
+    can only PROMOTE candidates the lexical teacher already ranks, the
+    same failure-containment argument as the serving fusion.  Pass the
+    returned callable as ``pretrain_encoder(teacher_score_fn=...)``.
+    """
+    import jax.numpy as jnp
+
+    from ..index.build import _build_sparse
+    from ..ops.bm25 import bm25_scores, encode_queries
+
+    texts = [t for t in chunk_texts if len(t) >= 2 * 4]
+    n_pad = -(-len(texts) // 128) * 128
+    sparse = _build_sparse(texts, n_pad, vocab_bits=vocab_bits)
+    chunk_emb = np.asarray(dense_model.embed(texts), np.float32)
+
+    def teacher(queries: List[str]) -> np.ndarray:
+        qt = encode_queries(queries, max_terms=48, vocab_bits=vocab_bits)
+        bm = np.asarray(bm25_scores(sparse, qt, n_pad))[:, : len(texts)]
+        bm = bm / np.maximum(bm.max(axis=1, keepdims=True), 1e-9)
+        qe = np.asarray(dense_model.embed(queries), np.float32)
+        dn = qe @ chunk_emb.T
+        dn = dn / np.maximum(dn.max(axis=1, keepdims=True), 1e-9)
+        return alpha * bm + (1.0 - alpha) * dn
+
+    return teacher
 
 
 # ------------------------------------------------------------ persistence

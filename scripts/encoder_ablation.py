@@ -260,3 +260,73 @@ if "selftrain_from" in which:
         init_params=base_model.params,
     )
     record("selftrain_from", m, info)
+
+
+# ---------------------------------------------------------- round-4 arms
+
+if "alias5k_pswap5" in which or "alias5k_pswap8" in which:
+    # BOTH-sides alias alignment (PretrainConfig.alias_swap_passage_prob):
+    # the positive pair spans term/alias wording in both directions —
+    # the multi-positive-view form of the query-side winner
+    for arm, pp in (("alias5k_pswap5", 0.5), ("alias5k_pswap8", 0.8)):
+        if arm in which:
+            m, info = pretrain_encoder(
+                ds.chunk_texts, enc_cfg=cfg,
+                pre_cfg=PretrainConfig(
+                    steps=5000, batch_size=64, seed=0,
+                    bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                    alias_swap_prob=0.8, alias_swap_passage_prob=pp))
+            record(arm, m, info)
+
+if "ensemble5k" in which:
+    # stage-2 with the BM25+dense ENSEMBLE teacher (pretrain.py
+    # ensemble_teacher): dense-only self-training regressed (0.47->0.325);
+    # the ensemble keeps BM25 as the anchor so the dense co-teacher can
+    # only promote candidates lexical mining already surfaces.
+    # Warm-starts from ENC_BASE (default: the saved alias5k_p8 winner).
+    import os
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel
+    from rag_challenge_2_tpu.models.pretrain import (
+        ensemble_teacher, load_params)
+
+    base_path = os.environ.get("ENC_BASE", "/tmp/enc_alias5k_p8.npz")
+    alpha = float(os.environ.get("ENC_ALPHA", "0.5"))
+    base_model = load_params(EmbeddingModel(cfg), base_path)
+    teacher = ensemble_teacher(ds.chunk_texts, base_model, alpha=alpha)
+    m, info = pretrain_encoder(
+        ds.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=1,
+                               bm25_neighbor_prob=0.8, hard_batch_prob=1.0,
+                               alias_swap_prob=0.8),
+        train_cfg=TrainConfig(lr=1e-4, total_steps=5000),
+        teacher_score_fn=teacher,
+        init_params=base_model.params,
+    )
+    record(f"ensemble5k_a{alpha}", m, info)
+
+if "v2_recipe5k" in which:
+    # TRANSFER eval: the default recipe trained and scored on the
+    # independently-shaped corpus #2 (eval/encoder_quality.build_dataset_v2
+    # — new vocabulary, templates, query shapes, definitional form).  If
+    # the alias-distill recipe only worked on corpus #1's templates, this
+    # arm exposes it.  Baselines recorded alongside for the ratio.
+    from rag_challenge_2_tpu.eval.encoder_quality import (
+        build_dataset_v2, eval_bm25)
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel
+
+    ds2 = build_dataset_v2(seed=7)
+    results["v2_bm25"] = eval_bm25(ds2)
+    print("v2_bm25", results["v2_bm25"], flush=True)
+    rand = EmbeddingModel(cfg, seed=0)
+    results["v2_random_init"] = eval_dense(rand.embed, ds2)
+    print("v2_random_init", results["v2_random_init"], flush=True)
+    json.dump(results, open(OUT, "w"), indent=1)
+    m, info = pretrain_encoder(
+        ds2.chunk_texts, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0))
+    r = eval_dense(m.embed, ds2)
+    results["v2_recipe5k"] = {**r, "final": info["final"]}
+    print("v2_recipe5k", results["v2_recipe5k"], flush=True)
+    json.dump(results, open(OUT, "w"), indent=1)
+    from rag_challenge_2_tpu.models.pretrain import save_params
+    save_params(m, "/tmp/enc_v2_recipe5k.npz")

@@ -565,3 +565,84 @@ def test_question_wrap_query_view():
         bm25_neighbor_prob=0.0, hard_batch_prob=0.0))
     qs0, _, _ = s0.sample(np.random.default_rng(0))
     assert not any(q.startswith(prefixes) for q in qs0)
+
+
+def test_pair_sampler_passage_side_alias_swap():
+    """alias_swap_passage_prob swaps terms in the PASSAGE view too —
+    both-directions alias alignment; alias machinery is built even when
+    the query-side prob is 0."""
+    from rag_challenge_2_tpu.models.pretrain import PairSampler, PretrainConfig
+
+    corpus = [
+        "注：营业收入（亦称营收）指报告期相关口径的指标。",
+        "公司2023年营业收入为12.5亿元，较上年同期增长。",
+        "公司2024年营业收入为15.8亿元，再创新高水平。",
+    ]
+    cfg = PretrainConfig(batch_size=8, crop_prob=0.0, keep_span_prob=1.0,
+                         min_span=4, bm25_neighbor_prob=0.0,
+                         hard_batch_prob=0.0, alias_swap_prob=0.0,
+                         alias_swap_passage_prob=1.0)
+    s = PairSampler(corpus, cfg)
+    assert s._alias_re is not None, "passage-only swap must build the map"
+    rng = np.random.default_rng(0)
+    seen_swapped = False
+    for _ in range(10):
+        qs, ps, _ = s.sample(rng)
+        # keep_span=1: every passage is a full chunk -> any passage whose
+        # source contained 营业收入 must now carry 营收 instead
+        for p in ps:
+            if "营收" in p and "营业收入" not in p:
+                seen_swapped = True
+    assert seen_swapped
+
+
+def test_ensemble_teacher_promotes_lexical_candidates():
+    """ensemble_teacher mixes max-normalized BM25 + dense scores; with
+    alpha=1 it reduces to pure (normalized) BM25 ranking."""
+    from rag_challenge_2_tpu.models.encoder import EmbeddingModel, EncoderConfig
+    from rag_challenge_2_tpu.models.pretrain import ensemble_teacher
+
+    corpus = [
+        "公司2023年营业收入为12.5亿元，较上年同期增长。",
+        "公司2023年研发费用为2.1亿元，持续加大投入。",
+        "公司2024年营业收入为15.8亿元，再创新高水平。",
+        "与营收无关的其他治理信息披露段落，仅用于对照。",
+    ]
+    cfg = EncoderConfig(vocab_bits=10, d_model=32, n_layers=1, n_heads=2,
+                        d_ff=64, max_len=32, out_dim=16)
+    model = EmbeddingModel(cfg, seed=0)
+    t_bm = ensemble_teacher(corpus, model, alpha=1.0, vocab_bits=12)
+    t_mix = ensemble_teacher(corpus, model, alpha=0.5, vocab_bits=12)
+    s_bm = t_bm(["2023年营业收入"])
+    s_mix = t_mix(["2023年营业收入"])
+    assert s_bm.shape == (1, len(corpus)) and s_mix.shape == (1, len(corpus))
+    # pure-BM25 ranking puts the lexically matching revenue chunk first
+    assert int(np.argmax(s_bm[0])) == 0
+    # the mix stays bounded by its components' normalization
+    assert np.all(s_mix <= 1.0 + 1e-6)
+
+
+def test_build_dataset_v2_transfer_corpus():
+    """The transfer corpus is genuinely disjoint from corpus #1 (vocab,
+    templates) and its definitional sentences are minable."""
+    from rag_challenge_2_tpu.eval.encoder_quality import (
+        METRICS, METRICS_V2, build_dataset, build_dataset_v2)
+    from rag_challenge_2_tpu.models.pretrain import mine_alias_pairs
+
+    ds1 = build_dataset(seed=0)
+    ds2 = build_dataset_v2(seed=7)
+    assert not (set(METRICS) & set(METRICS_V2)), "metric vocab must be disjoint"
+    assert len(ds2.queries) == 200
+    # no chunk text shared across corpora
+    assert not (set(ds1.chunk_texts) & set(ds2.chunk_texts))
+    # the v2 definitional form ("或称", full-width parens) mines pairs for
+    # every v2 metric alias
+    pairs = mine_alias_pairs(ds2.chunk_texts)
+    mined_terms = {t for t, _ in pairs}
+    assert set(METRICS_V2) <= mined_terms
+    # every eval query uses alias wording (the regime being measured)
+    hit = sum(
+        any(a in q for m, (_, al) in METRICS_V2.items() for a in al)
+        for q in ds2.queries
+    )
+    assert hit == len(ds2.queries)
