@@ -929,6 +929,8 @@ def bench_traversal_1m(extras, N_DOCS=6, CPD=170_000, D=1024):
     budget here — above it the engine falls back to the masked
     full-corpus traverse (engine.search_device), so this line witnesses
     traversal at scale WITHOUT corpus duplication in HBM."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -975,11 +977,152 @@ def bench_traversal_1m(extras, N_DOCS=6, CPD=170_000, D=1024):
             max_queries=Q_BATCH, max_docs=M, top_n=30,
             max_hops=4, neighbor_k=30,
         )
+        # two tiers, same honesty contract as the 10M scan ladder: exact
+        # hops (the parity-tested path — the per-hop W-wide sort caps it),
+        # and the rt=0.95 served tier (hop candidates via the fused
+        # PartialReduce, traversal.HOP_APPROX_MIN_COLS) with the fused
+        # top-30 overlap vs exact recorded alongside
+        exact_keys = None
+        for rt, tag in ((None, "_exact"), (0.95, "")):
+            cfg_t = dataclasses.replace(cfg, scan_rt=rt)
+            out, _ = search_device(idx, batches[0], q_valid, dm, dv, cfg_t,
+                                   win_start=ws, win_len=wl, window=window)
+            sync(out.score)
+            keys0 = np.asarray(out.key)
+            if rt is None:
+                exact_keys = set(keys0[keys0 >= 0].tolist())
+            else:
+                got = set(keys0[keys0 >= 0].tolist())
+                ov = len(got & exact_keys) / max(len(exact_keys), 1)
+                extras[f"traversal_1m_{method}_rt95_overlap"] = round(ov, 4)
+
+            def run(cfg_t=cfg_t):
+                o = None
+                for r in range(reps):
+                    o, _ = search_device(idx, batches[r], q_valid, dm, dv,
+                                         cfg_t, win_start=ws, win_len=wl,
+                                         window=window)
+                return o.score
+
+            qps = best_qps(lambda: run(), Q_BATCH * reps, reps=1)
+            extras[f"traversal_1m_{method}{tag}_qps"] = round(qps, 1)
+            log(f"device {method} at {N} rows "
+                f"({'windowed' if windowed else 'masked full-corpus'}, "
+                f"{'exact hops' if rt is None else 'rt=0.95 hops'}): "
+                f"{qps:.1f} qps"
+                + ("" if rt is None else
+                   f", fused top-30 overlap vs exact = "
+                   f"{extras[f'traversal_1m_{method}_rt95_overlap']:.4f}"))
+
+    # free the 4.2 GB corpus eagerly — the 10M traversal section follows
+    # in the same process and needs the HBM headroom
+    import gc
+
+    del idx, emb, dm, batches, out
+    gc.collect()
+
+
+def bench_traversal_10m(extras, N_DOCS=5, D=1024, C=500_000):
+    """Graph traversal at the FULL 10M-row target (config-5 scale) on one
+    chip: int8 row store (10.2 GB — f32 cannot even load), per-slot
+    sequential doc windows (engine TRAVERSAL_WINDOW_COPY_CAP: one
+    transient [1, W, D] int8 window ≈ 1.7 GB alive at a time), and
+    rt=0.95 hop candidates (traversal.HOP_APPROX_MIN_COLS — the W-wide
+    per-hop sort is the cost ceiling at this width).  Parity bookkeeping:
+    SSG also runs one exact-hop batch and the fused top-30 overlap vs it
+    is recorded (hybrid's exact tier at 10M takes minutes per batch; its
+    hop-approx recall is witnessed by traversal_1m_*_rt95_overlap)."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.index.schema import CorpusIndex
+    from rag_challenge_2_tpu.ops.quant import quantize_rows
+    from rag_challenge_2_tpu.retrieval.engine import SearchConfig, search_device
+
+    N = 20 * C                   # 5 docs x 2M rows at the default C=500k
+    CPD = N // N_DOCS
+    Q_BATCH, M, NQ = 8, 3, 127
+    N_CENTERS = 4096
+    key = jax.random.PRNGKey(0)
+    centers = jax.random.normal(key, (N_CENTERS, D), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def gen_chunk(buf, scales, centers, i):
+        k = jax.random.fold_in(jax.random.PRNGKey(1), i)
+        ka, kn = jax.random.split(k)
+        a = jax.random.randint(ka, (C,), 0, N_CENTERS)
+        e = centers[a] + (0.35 / jnp.sqrt(D)) * jax.random.normal(
+            kn, (C, D), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        q8, sc = quantize_rows(e)
+        buf = jax.lax.dynamic_update_slice(buf, q8, (i * C, jnp.int32(0)))
+        scales = jax.lax.dynamic_update_slice(scales, sc, (i * C,))
+        return buf, scales, e
+
+    buf = jnp.zeros((N, D), jnp.int8)
+    scales = jnp.zeros((N,), jnp.float32)
+    q_all = None
+    t0 = time.perf_counter()
+    for i in range(N // C):
+        buf, scales, e = gen_chunk(buf, scales, centers, jnp.int32(i))
+        if i == 0:
+            kr, kn2 = jax.random.split(jax.random.fold_in(key, 9))
+            r = jax.random.randint(kr, (NQ,), 0, C)
+            q_all = e[r] + (0.25 / jnp.sqrt(D)) * jax.random.normal(
+                kn2, (NQ, D), jnp.float32)
+            q_all = q_all / jnp.linalg.norm(q_all, axis=1, keepdims=True)
+        del e
+    sync(buf)
+    log(f"traversal 10M int8 gen: {time.perf_counter() - t0:.1f}s")
+
+    rows = jnp.arange(N, dtype=jnp.int32)
+    doc_id = (rows // CPD).astype(jnp.int32)
+    idx = CorpusIndex(
+        emb=buf, emb_scale=scales, doc_id=doc_id, page=rows % 500 + 1,
+        year=2020 + doc_id, company_id=jnp.zeros((N,), jnp.int32),
+        kind=jnp.zeros((N,), jnp.int32), page_seg=rows // 4,
+        chunk_in_doc=rows % CPD, valid=jnp.ones((N,), bool), sparse=None,
+        n_chunks=N, n_pages=N // 4, n_docs=N_DOCS, dim=D,
+    )
+    dm = jnp.stack([doc_id == d for d in range(M)])
+    dv = jnp.ones((M,), bool)
+    q_valid = jnp.ones((Q_BATCH,), bool)
+    ws = jnp.arange(M, dtype=jnp.int32) * CPD
+    wl = jnp.full((M,), CPD, jnp.int32)
+    window = -(-CPD // 128) * 128
+    reps = 4
+    batches = [q_all[(r * Q_BATCH) % (NQ - Q_BATCH):][:Q_BATCH]
+               for r in range(reps)]
+    sync(batches[-1])
+
+    exact_keys = None
+    for method, with_exact in (("ssg", True), ("hybrid_expansion", False)):
+        cfg = SearchConfig(
+            method=method, top_k=50 if method == "hybrid_expansion" else 30,
+            max_queries=Q_BATCH, max_docs=M, top_n=30,
+            max_hops=4, neighbor_k=30, scan_rt=0.95,
+        )
+        if with_exact:
+            cfg_e = dataclasses.replace(cfg, scan_rt=None)
+            out_e, _ = search_device(idx, batches[0], q_valid, dm, dv, cfg_e,
+                                     win_start=ws, win_len=wl, window=window)
+            sync(out_e.score)
+            ke = np.asarray(out_e.key)
+            exact_keys = set(ke[ke >= 0].tolist())
         out, _ = search_device(idx, batches[0], q_valid, dm, dv, cfg,
                                win_start=ws, win_len=wl, window=window)
         sync(out.score)
+        if with_exact:
+            k0 = np.asarray(out.key)
+            got = set(k0[k0 >= 0].tolist())
+            ov = len(got & exact_keys) / max(len(exact_keys), 1)
+            extras[f"traversal_10m_{method}_rt95_overlap"] = round(ov, 4)
 
-        def run():
+        def run(cfg=cfg):
             o = None
             for r in range(reps):
                 o, _ = search_device(idx, batches[r], q_valid, dm, dv, cfg,
@@ -987,9 +1130,12 @@ def bench_traversal_1m(extras, N_DOCS=6, CPD=170_000, D=1024):
             return o.score
 
         qps = best_qps(lambda: run(), Q_BATCH * reps, reps=1)
-        extras[f"traversal_1m_{method}_qps"] = round(qps, 1)
-        log(f"device {method} at {N} rows ({'windowed' if windowed else 'masked full-corpus'}): "
-            f"{qps:.1f} qps")
+        extras[f"traversal_10m_{method}_qps"] = round(qps, 1)
+        log(f"device {method} at {N} rows (int8 per-slot windows, rt=0.95 "
+            f"hops): {qps:.1f} qps"
+            + (f", fused top-30 overlap vs exact hops = "
+               f"{extras[f'traversal_10m_{method}_rt95_overlap']:.4f}"
+               if with_exact else ""))
 
 
 def bench_hybrid_quality(extras):
@@ -1268,6 +1414,7 @@ def main():
         ("microbatch_val", bench_microbatch_val),
         ("traversal", bench_traversal),
         ("traversal_1m", bench_traversal_1m),
+        ("traversal_10m", bench_traversal_10m),
         ("qa_warm", bench_qa_warm),
         ("encoder", bench_encoder),
         ("hybrid_quality", bench_hybrid_quality),

@@ -81,7 +81,11 @@ class SearchConfig:
     # lax.approx_max_k) at this recall target instead of the exact
     # one-shot sort — the sort dominates those graphs, so this trades a
     # measured per-element recall cost for qps (bench.py reports both).
-    # None = exact everywhere.
+    # Traversal hop-candidate selection takes the same route when the
+    # hop's scored row is ≥ traversal.HOP_APPROX_MIN_COLS wide (the
+    # W-wide per-hop sort is what capped hybrid_expansion at 10.8 qps on
+    # 170k-row documents; bench_traversal_1m records the hit overlap vs
+    # the exact hops).  None = exact everywhere.
     scan_rt: Optional[float] = None
 
 
@@ -370,6 +374,7 @@ def search_device(
                 emb, a_g, qv_g, win_start, win_len, index.emb_scale,
                 window=window, max_hops=cfg.max_hops,
                 neighbor_k=cfg.neighbor_k, mode=mode,
+                approx_rt=cfg.scan_rt,
             )
             qids = jnp.tile(jnp.repeat(jnp.arange(Q, dtype=jnp.int32), n), M)
             return res, qids, qv_g.reshape(M * Q * n, D)
@@ -407,7 +412,7 @@ def search_device(
                         win_start[m : m + 1], win_len[m : m + 1],
                         index.emb_scale, window=window,
                         max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k,
-                        mode=mode,
+                        mode=mode, approx_rt=cfg.scan_rt,
                     )
                 parts.append(jax.lax.cond(doc_valid[m], run_m, skip_m))
             res = jax.tree_util.tree_map(
@@ -423,6 +428,7 @@ def search_device(
             emb, anchors_pm.reshape(-1), qv,
             jnp.repeat(pair_mask, n, axis=0), index.emb_scale,
             max_hops=cfg.max_hops, neighbor_k=cfg.neighbor_k, mode=mode,
+            approx_rt=cfg.scan_rt,
         )
         return res, jnp.repeat(qid_pair, n), qv
 

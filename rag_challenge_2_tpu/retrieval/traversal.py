@@ -60,6 +60,27 @@ class TraversalResult(NamedTuple):
 
 CAND_RECORD = 10  # candidates kept per hop (reference src/retrieval.py:665)
 
+# At million-row document windows the hop cost is NOT the matmul (the
+# [A, W]·[W, D] product is a few ms) but the W-wide `lax.top_k` sort that
+# follows it, run once per hop per method.  When the caller opts in
+# (``approx_rt``, threaded from engine SearchConfig.scan_rt) and the
+# scored row is at least this wide, hop-candidate selection runs the
+# TPU's fused PartialReduce (``lax.approx_max_k``) instead — same trade
+# as the 10M one-shot scan (ops/topk.large_topk_from_scores): a measured
+# sliver of per-hop recall for the sort's removal.  Below this width the
+# exact sort is dispatch-latency noise, so the flag is a no-op and
+# val-shape parity (tests/test_traversal.py oracle paths) is untouched.
+HOP_APPROX_MIN_COLS = 1 << 16
+
+
+def _cand_topk(scores: jax.Array, k: int, approx_rt: Optional[float]):
+    """Top-k hop candidates over the last axis; approx when wide + opted in."""
+    if approx_rt is not None and scores.shape[-1] >= HOP_APPROX_MIN_COLS:
+        vals, ids = jax.lax.approx_max_k(scores, k, recall_target=approx_rt)
+    else:
+        vals, ids = jax.lax.top_k(scores, k)
+    return vals, ids.astype(jnp.int32)
+
 
 def _gather_vecs(emb, row_scale, idx):
     """Dequantizing row gather: f32 vectors whatever the store dtype."""
@@ -70,7 +91,7 @@ def _gather_vecs(emb, row_scale, idx):
 
 
 def _hop_candidates(cur_vec, emb, row_scale, mask, path, neighbor_k,
-                    query_vec=None):
+                    query_vec=None, approx_rt=None):
     """Top-(k+1) neighbours of the current vectors, with visited flags.
 
     When ``query_vec`` is given (triangulation), the query row rides the
@@ -92,14 +113,15 @@ def _hop_candidates(cur_vec, emb, row_scale, mask, path, neighbor_k,
             precision=jax.lax.Precision.HIGHEST,
         )
     A = cur_vec.shape[0]
-    vals, ids = jax.lax.top_k(_mask_scores(scores[:A], mask), neighbor_k + 1)
+    vals, ids = _cand_topk(_mask_scores(scores[:A], mask), neighbor_k + 1,
+                           approx_rt)
     visited = jnp.any(path[:, :, None] == ids[:, None, :], axis=1)
     qx = None if query_vec is None else jnp.take_along_axis(scores[A:], ids, axis=1)
     return vals, ids, visited, qx
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_hops", "neighbor_k", "mode")
+    jax.jit, static_argnames=("max_hops", "neighbor_k", "mode", "approx_rt")
 )
 def traverse(
     emb: jax.Array,
@@ -111,6 +133,7 @@ def traverse(
     max_hops: int = 4,
     neighbor_k: int = 30,
     mode: str = "ssg",
+    approx_rt: Optional[float] = None,
 ) -> TraversalResult:
     """Run SSG or Triangulation traversal for a batch of anchors.
 
@@ -166,6 +189,7 @@ def traverse(
         vals, ids, visited, qx = _hop_candidates(
             cur_vec, emb, row_scale, mask, path, neighbor_k,
             query_vec=None if mode == "ssg" else query_vec,
+            approx_rt=approx_rt,
         )
         cand_ok = (~visited) & (vals > NEG_INF / 2)
 
@@ -224,7 +248,8 @@ def traverse(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "max_hops", "neighbor_k", "mode")
+    jax.jit,
+    static_argnames=("window", "max_hops", "neighbor_k", "mode", "approx_rt"),
 )
 def traverse_windowed(
     emb: jax.Array,
@@ -238,6 +263,7 @@ def traverse_windowed(
     max_hops: int = 4,
     neighbor_k: int = 30,
     mode: str = "ssg",
+    approx_rt: Optional[float] = None,
 ) -> TraversalResult:
     """`traverse` restricted to per-group document windows.
 
@@ -349,7 +375,7 @@ def traverse_windowed(
         path, hop_score, cand_ids, cand_scores, cur_idx, cur_vec, prev_sim, active = state
         s = hop_scores(cur_vec)
         cs = jnp.where(win_mask[:, None, :], s, NEG_INF)
-        vals, ids = jax.lax.top_k(cs, neighbor_k + 1)              # [G, A, k+1]
+        vals, ids = _cand_topk(cs, neighbor_k + 1, approx_rt)     # [G, A, k+1]
         visited = jnp.any(path[:, :, :, None] == ids[:, :, None, :], axis=2)
         cand_ok = (~visited) & (vals > NEG_INF / 2)
 

@@ -186,3 +186,54 @@ def test_windowed_matches_full_traversal(mode, quant):
     np.testing.assert_allclose(
         np.asarray(got.cand_scores), np.asarray(ref.cand_scores), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("mode", ["ssg", "triangulation"])
+def test_approx_hop_wiring(mode, monkeypatch):
+    """approx_rt routes hop-candidate selection through lax.approx_max_k
+    (the 1M+/10M fast tier — engine SearchConfig.scan_rt).  On CPU the
+    PartialReduce falls back to an exact sort, so with the width gate
+    patched open both traverse and traverse_windowed must reproduce the
+    exact-hop paths bit-for-bit; the real recall trade is measured on TPU
+    by bench_traversal_1m."""
+    import rag_challenge_2_tpu.retrieval.traversal as tv
+
+    rng = np.random.default_rng(23)
+    G, CPD, D, A = 2, 48, 32, 4
+    N = G * CPD
+    emb = _mk(rng, n=N, d=D)
+    emb_j = jnp.asarray(emb)
+    anchors = np.stack([
+        rng.integers(g * CPD, (g + 1) * CPD, size=A) for g in range(G)
+    ]).astype(np.int32)
+    q = rng.normal(size=(G, A, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    win_start = jnp.asarray(np.array([0, CPD], np.int32))
+    win_len = jnp.asarray(np.full((G,), CPD, np.int32))
+
+    exact_w = tv.traverse_windowed(
+        emb_j, jnp.asarray(anchors), jnp.asarray(q), win_start, win_len,
+        None, window=CPD, max_hops=4, neighbor_k=8, mode=mode)
+    mask = np.zeros((G * A, N), bool)
+    for g in range(G):
+        mask[g * A:(g + 1) * A, g * CPD:(g + 1) * CPD] = True
+    exact_f = tv.traverse(
+        emb_j, jnp.asarray(anchors.reshape(-1)),
+        jnp.asarray(q.reshape(G * A, D)), jnp.asarray(mask),
+        max_hops=4, neighbor_k=8, mode=mode)
+
+    monkeypatch.setattr(tv, "HOP_APPROX_MIN_COLS", 1)
+    apx_w = tv.traverse_windowed(
+        emb_j, jnp.asarray(anchors), jnp.asarray(q), win_start, win_len,
+        None, window=CPD, max_hops=4, neighbor_k=8, mode=mode,
+        approx_rt=0.95)
+    apx_f = tv.traverse(
+        emb_j, jnp.asarray(anchors.reshape(-1)),
+        jnp.asarray(q.reshape(G * A, D)), jnp.asarray(mask),
+        max_hops=4, neighbor_k=8, mode=mode, approx_rt=0.95)
+
+    np.testing.assert_array_equal(np.asarray(apx_w.path), np.asarray(exact_w.path))
+    np.testing.assert_array_equal(np.asarray(apx_f.path), np.asarray(exact_f.path))
+    np.testing.assert_allclose(
+        np.asarray(apx_w.hop_score), np.asarray(exact_w.hop_score),
+        rtol=1e-5, atol=1e-6)
