@@ -22,14 +22,18 @@ Semantics are identical to unbatched `QueryEngine.search` — parity is
 asserted field-for-field in tests/test_batcher.py.
 
 Win region (measured on v5e, hybrid dense+BM25+fusion, 8 queries/request):
-batching pays while per-dispatch overhead dominates the scan — 1.25–2.35×
-at 10k rows (R=4; the win is amortized dispatch round trips, so it moves
-with relay RTT), break-even ≈ 100k rows, 0.56× at 510k and 0.51× at 1.5M
-(one request already saturates HBM there, and vmapping the fusion stage
-adds work).  `WIN_MAX_ROWS` marks the measured break-even; enabling the
-batcher above it logs a warning (the reference-shaped deployment — a
-handful of annual reports, ~10k chunks — sits squarely in the win
-region).
+the win is ENTIRELY amortized per-dispatch round trips — JAX's async
+dispatch already pipelines sequential calls on-device, so batching only
+pays when host→device dispatch latency dominates the scan.  The
+driver-witnessed speedup at the 10k-row val shape is **1.09× (R=4)**;
+runs under a high-RTT relay have measured up to 2.35× at the same shape,
+which is the relay's latency being amortized, not the TPU going faster.
+Treat micro-batching as a WIN ONLY UNDER RTT-BOUND DEPLOYMENTS (remote
+dispatch, high-latency links); at low dispatch latency it is ~neutral at
+small corpora and a loss at large ones — 0.56× at 510k rows and 0.51× at
+1.5M (one request already saturates HBM, and vmapping the fusion stage
+adds work).  `WIN_MAX_ROWS` marks the measured large-corpus break-even;
+enabling the batcher above it logs a warning.
 """
 
 from __future__ import annotations

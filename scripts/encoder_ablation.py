@@ -17,6 +17,17 @@ held-out paraphrase queries; steps=5000 batch=64 seed=0 unless noted):
   idf5k_p2        -       (not run; power 1 already regressed)
   selftrain*      0.325   stage-2 dense-teacher re-mining: REGRESSES
 
+Round-4 arms (same eval unless noted):
+
+  alias5k_pswap8  0.685   + passage-side alias swap 0.8: REGRESSES —
+                          rewriting the passage breaks the literal-
+                          wording anchor the distill teacher scores
+  alias5k_pswap5  0.71    passage-side 0.5: still below 0.73
+  v2_recipe5k     0.755   TRANSFER: the unchanged default recipe on
+                          corpus #2 (build_dataset_v2) — 2.4x random
+                          init (0.315) and BEATS BM25-alone (0.67);
+                          the recipe is not fit to corpus #1's templates
+
 Run one arm per process: the axon relay accumulates host buffers over
 ~10k+ dispatches and a multi-arm process gets OOM-killed.  Arms save
 params to /tmp/enc_<arm>.npz; selftrain_from warm-starts from
