@@ -1144,9 +1144,11 @@ def bench_hybrid_quality(extras):
     eval where quality was previously unrecorded, VERDICT r3 #1).
 
     Trains the default label-free recipe for RAGTPU_HYBRID_QUALITY_STEPS
-    (default 1500 — the cheapest step count where the fusion holds the
-    hybrid >= max(arms) bar; docs/ENCODER_QUALITY.json records the full
-    5k/15k arms) and reports bm25 / dense / hybrid hit@10 side by side.
+    (default 1500; docs/ENCODER_QUALITY.json records the full 5k/15k
+    arms) and reports bm25 / dense / hybrid hit@10 side by side —
+    ``hybrid_quality_hit10`` is the SHIPPED sum-fusion preset
+    (fuse_mode="sum", dense_weight=0.5 — scripts/fusion_sweep.py winner),
+    ``hybrid_parity_hit10`` the reference-parity max rule.
     """
     import os
 
@@ -1169,13 +1171,17 @@ def bench_hybrid_quality(extras):
     extras["hybrid_quality_train_s"] = round(time.perf_counter() - t0, 1)
     dense = eval_dense(model.embed, ds)
     extras["dense_quality_hit10"] = dense["hit@10"]
-    hyb = eval_hybrid(model.embed, ds)
+    hyb = eval_hybrid(model.embed, ds)   # shipped preset: sum + 0.5
     extras["hybrid_quality_hit10"] = hyb["hit@10"]
     extras["hybrid_quality_mrr30"] = hyb["mrr"]
     extras["hybrid_quality_steps"] = steps
+    par = eval_hybrid(model.embed, ds, fuse_mode="max", dense_weight=1.0)
+    extras["hybrid_parity_hit10"] = par["hit@10"]
+    extras["hybrid_parity_mrr30"] = par["mrr"]
     log(f"quality (steps={steps}): bm25 {bm['hit@10']} / dense "
-        f"{dense['hit@10']} / SERVED HYBRID {hyb['hit@10']} hit@10, "
-        f"hybrid mrr@30 {hyb['mrr']} (bm25 full-rank mrr {bm['mrr']})")
+        f"{dense['hit@10']} / SERVED HYBRID (sum-fusion) {hyb['hit@10']} "
+        f"hit@10, mrr@30 {hyb['mrr']} / parity-max {par['hit@10']} "
+        f"(bm25 full-rank mrr {bm['mrr']})")
 
 
 def bench_e2e(extras):

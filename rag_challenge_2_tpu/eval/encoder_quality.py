@@ -312,7 +312,7 @@ def eval_bm25(ds: QualityDataset, k: int = 10, vocab_bits: int = 18) -> Dict[str
 
 def eval_hybrid(
     embed_fn, ds: QualityDataset, k: int = 10, vocab_bits: int = 18,
-    top_n: int = 30,
+    top_n: int = 30, fuse_mode: str = "sum", dense_weight: float = 0.5,
 ) -> Dict[str, float]:
     """The PRODUCT path: dense + BM25 fused through the real serving graph.
 
@@ -324,6 +324,11 @@ def eval_hybrid(
     corpus (unrouted, matching the full-matrix evals) and runs every
     held-out paraphrase query through ``QueryEngine.search_many`` with
     ``use_bm25=True``.
+
+    ``fuse_mode``/``dense_weight`` default to the SHIPPED hybrid preset
+    (sum-fusion, dense weight 0.5 — the scripts/fusion_sweep.py winner);
+    pass ``fuse_mode="max", dense_weight=1.0`` to score the
+    reference-parity rule instead.
 
     MRR is truncated at ``top_n`` (rank > top_n contributes 0) — the
     serving graph only returns the aggregated top-n, so the number is a
@@ -351,6 +356,7 @@ def eval_hybrid(
     cfg = SearchConfig(
         method="basic", use_bm25=True, top_n=top_n, top_k=top_n,
         bm25_top_k=top_n, max_queries=1, max_docs=1,
+        fuse_mode=fuse_mode, dense_weight=dense_weight,
     )
     cands = eng.search_many(
         [qe[i : i + 1] for i in range(len(ds.queries))],

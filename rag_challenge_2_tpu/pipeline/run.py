@@ -38,6 +38,10 @@ class RunConfig:
     parent_document_retrieval: bool = False
     use_vector_dbs: bool = True
     use_bm25_db: bool = False
+    # hybrid fusion rule (QAConfig.fuse_mode/dense_weight): "sum" + 0.5
+    # is the measured default; "max" + 1.0 = reference scoring parity
+    fuse_mode: str = "sum"
+    dense_weight: float = 0.5
     llm_reranking: bool = False
     llm_reranking_sample_size: int = 30
     top_n_retrieval: int = 10
@@ -243,6 +247,8 @@ class Pipeline:
             neighbor_k=rc.neighbor_k,
             full_context=rc.full_context,
             use_bm25=rc.use_bm25_db,
+            fuse_mode=rc.fuse_mode,
+            dense_weight=rc.dense_weight,
             use_ivf=rc.use_ivf,
             ivf_nprobe=rc.ivf_nprobe,
             scan_rt=rc.scan_rt,

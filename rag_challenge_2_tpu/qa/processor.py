@@ -57,6 +57,13 @@ class QAConfig:
     expand_context_size: int = 1
     full_context: bool = False
     use_bm25: bool = False          # hybrid dense+BM25 fusion in the engine
+    # fusion rule for use_bm25 (SearchConfig.fuse_mode/dense_weight):
+    # "sum" + 0.5 is the measured winner on the config-4 quality eval
+    # (0.945 vs max-parity's 0.89 hit@10, BM25-alone 0.905 — DESIGN.md
+    # "Sum-fusion"); set fuse_mode="max", dense_weight=1.0 for exact
+    # reference scoring parity (src/retrieval.py:1639-1661)
+    fuse_mode: str = "sum"
+    dense_weight: float = 0.5
     use_ivf: bool = False           # clustered index for the basic method
     ivf_nprobe: int = 8
     scan_rt: Optional[float] = None  # fast 10M-scale scan: fused
@@ -445,6 +452,8 @@ class QuestionsProcessor:
             return_parent_pages=cfg.return_parent_pages,
             top_n=top_n,
             use_bm25=cfg.use_bm25,
+            fuse_mode=cfg.fuse_mode if cfg.use_bm25 else "max",
+            dense_weight=cfg.dense_weight if cfg.use_bm25 else 1.0,
             use_ivf=cfg.use_ivf,
             ivf_nprobe=cfg.ivf_nprobe,
             scan_rt=cfg.scan_rt,

@@ -72,6 +72,20 @@ class SearchConfig:
     # operates on a cosine-comparable [0, 1] scale
     use_bm25: bool = False
     bm25_top_k: int = 30
+    # cross-method fusion rule (ops/aggregate.fuse_hits): "max" is
+    # reference parity (src/retrieval.py:1639-1661 — winner-takes-all
+    # across arms); "sum" adds each arm's best clamped score per key.
+    # Measured (scripts/fusion_sweep.py, DESIGN.md "Sum-fusion"): at the
+    # served dense quality, sum + dense_weight 0.5 lifts the config-4
+    # quality eval from 0.89 to 0.945 hit@10 (BM25-alone 0.905) and
+    # degrades gracefully when the dense arm is weak (0.885 vs max-mode's
+    # 0.75 at a random-init encoder) — the hybrid presets ship with it
+    fuse_mode: str = "max"
+    # scales every non-BM25 arm's sims before fusion (only meaningful
+    # with use_bm25; 1.0 = no-op).  0.5 is the measured sweet spot for
+    # "sum": dense rescues BM25 misses without letting its distractors
+    # outvote BM25's calibrated [0, 1] scores
+    dense_weight: float = 1.0
     # IVF acceleration for the `basic` method (million-row corpora): the
     # anchor/traversal paths stay exact; recall governed by nprobe
     use_ivf: bool = False
@@ -523,6 +537,12 @@ def search_device(
     ]
     rows_f, sims_f, qids_f, mids_f, valid_f = flat
     valid_f = valid_f & (rows_f >= 0)
+    if cfg.use_bm25 and cfg.dense_weight != 1.0:
+        # weight the dense/traversal arms against BM25's max-normalized
+        # [0, 1] scores (see SearchConfig.dense_weight)
+        sims_f = jnp.where(
+            mids_f == METHOD_IDS["bm25"], sims_f, sims_f * cfg.dense_weight
+        )
     # aggregation key: parent page vs chunk row (reference :1146-1156)
     safe_rows = jnp.maximum(rows_f, 0)
     key_f = jnp.where(
@@ -530,7 +550,10 @@ def search_device(
         index.page_seg[safe_rows],
         safe_rows,
     )
-    fused = fuse_hits(key_f, sims_f, qids_f, mids_f, rows_f, valid_f, top_n=cfg.top_n)
+    fused = fuse_hits(
+        key_f, sims_f, qids_f, mids_f, rows_f, valid_f,
+        top_n=cfg.top_n, mode=cfg.fuse_mode,
+    )
     return fused, details
 
 

@@ -30,7 +30,24 @@ def _oracle(hits, top_n):
     return out[:top_n]
 
 
-def _run(hits, top_n, L=None):
+def _oracle_sum(hits, top_n):
+    """Sum-mode oracle: base = Σ over methods of max(0, best sim)."""
+    agg = {}
+    for key, sim, qid, mid, row in hits:
+        info = agg.setdefault(key, {"arm": {}, "qids": set()})
+        info["arm"][mid] = max(info["arm"].get(mid, -1e30), sim)
+        info["qids"].add(qid)
+    out = []
+    for key, info in agg.items():
+        base = sum(max(s, 0.0) for s in info["arm"].values())
+        nq, nm = len(info["qids"]), len(info["arm"])
+        final = base * (1 + 0.2 * (nq - 1)) * (1 + 0.1 * (nm - 1))
+        out.append((final, key, base, nq, nm))
+    out.sort(key=lambda t: -t[0])
+    return out[:top_n]
+
+
+def _run(hits, top_n, L=None, mode="max"):
     L = L or len(hits)
     key = np.full(L, 0, np.int32)
     sim = np.zeros(L, np.float32)
@@ -42,7 +59,7 @@ def _run(hits, top_n, L=None):
         key[i], sim[i], qid[i], mid[i], row[i], valid[i] = k, s, q, m, r, True
     return fuse_hits(
         jnp.asarray(key), jnp.asarray(sim), jnp.asarray(qid), jnp.asarray(mid),
-        jnp.asarray(row), jnp.asarray(valid), top_n=top_n,
+        jnp.asarray(row), jnp.asarray(valid), top_n=top_n, mode=mode,
     )
 
 
@@ -62,6 +79,40 @@ def test_fuse_matches_reference_dict_logic(rng):
         assert abs(got_scores[i] - f) < 1e-5, (i, f, got_scores[i])
         # keys may swap on exact score ties; check the score sequence + membership
     assert set(got_keys[: len(exp)]) == {k for _, k, *_ in exp}
+
+
+def test_fuse_sum_mode_matches_oracle(rng):
+    n_keys, n_q, n_m = 20, 4, 3
+    hits = []
+    for q in range(n_q):
+        for m in range(n_m):
+            for _ in range(10):
+                k = int(rng.integers(0, n_keys))
+                # include negative sims: sum mode clamps them to 0
+                hits.append((k, float(rng.random() * 1.4 - 0.2), q, m, k * 10))
+    res = _run(hits, top_n=10, mode="sum")
+    exp = _oracle_sum(hits, top_n=10)
+    got_scores = np.asarray(res.score)
+    for i, (f, k, base, nq, nm) in enumerate(exp):
+        assert abs(got_scores[i] - f) < 1e-4, (i, f, got_scores[i])
+    assert set(np.asarray(res.key)[: len(exp)]) == {k for _, k, *_ in exp}
+
+
+def test_fuse_sum_two_arms_beat_one():
+    # key 5: both arms at 0.6 each → base 1.2 (+ method bonus);
+    # key 7: one arm at 1.0 → 1.0.  Sum mode ranks 5 first, max mode 7.
+    hits = [(5, 0.6, 0, 0, 50), (5, 0.6, 0, 3, 51), (7, 1.0, 0, 0, 70)]
+    s = _run(hits, top_n=3, mode="sum")
+    assert int(s.key[0]) == 5 and abs(float(s.score[0]) - 1.2 * 1.1) < 1e-6
+    m = _run(hits, top_n=3, mode="max")
+    assert int(m.key[0]) == 7
+
+
+def test_fuse_sum_padded_invalid_rows_ignored(rng):
+    hits = [(3, 0.5, 0, 0, 30), (4, 0.4, 0, 1, 40)]
+    res = _run(hits, top_n=4, L=16, mode="sum")   # 14 invalid pad rows
+    keys = [int(k) for k in np.asarray(res.key)]
+    assert keys[:2] == [3, 4] and keys[2:] == [-1, -1]
 
 
 def test_query_dedup_per_key():

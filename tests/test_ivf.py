@@ -31,6 +31,45 @@ def test_kmeans_recovers_clusters(rng):
     assert purity / len(x) > 0.9
 
 
+def test_kmeans_batched_recovers_clusters_per_group(rng):
+    """One batched dispatch over G independent problems (the IVF
+    balancing path, index/ivf._balance_clusters) must cluster each group
+    as well as per-group Lloyd's would."""
+    from rag_challenge_2_tpu.ops.kmeans import kmeans_batched
+
+    groups = []
+    for g in range(3):
+        x, _ = _clustered_data(rng, n_clusters=4, per=50, d=16)
+        groups.append(x)
+    xs = jnp.asarray(np.stack(groups))           # [3, 200, 16]
+    cents, assign = kmeans_batched(xs, 4, iters=15, seed=2)
+    assert cents.shape == (3, 4, 16) and assign.shape == (3, 200)
+    assign = np.asarray(assign)
+    for g in range(3):
+        purity = 0
+        for c in range(4):
+            labels = assign[g, c * 50 : (c + 1) * 50]
+            purity += np.bincount(labels, minlength=4).max()
+        # random-init Lloyd's occasionally merges two tight clusters (an
+        # empty-cluster local minimum) — 0.85 still separates signal from
+        # noise; the argmin check below is the exact parity assertion
+        assert purity / 200 > 0.85
+        # assignments must be argmin-distance vs the returned centroids
+        d = np.linalg.norm(
+            groups[g][:, None, :] - np.asarray(cents[g])[None], axis=2
+        )
+        np.testing.assert_array_equal(assign[g], d.argmin(axis=1))
+
+
+def test_kmeans_batched_clamps_k_to_n(rng):
+    from rag_challenge_2_tpu.ops.kmeans import kmeans_batched
+
+    xs = jnp.asarray(rng.normal(size=(2, 3, 8)).astype(np.float32))
+    cents, assign = kmeans_batched(xs, 16, iters=4, seed=0)
+    assert cents.shape[1] == 3                   # k clamped to n
+    assert set(np.asarray(assign).ravel()) <= {0, 1, 2}
+
+
 def test_assign_blocks_match_full(rng):
     x = rng.normal(size=(1000, 16)).astype(np.float32)
     c = rng.normal(size=(10, 16)).astype(np.float32)
