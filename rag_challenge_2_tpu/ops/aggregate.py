@@ -42,7 +42,13 @@ class FusedCandidates:
 
     key: jax.Array        # i32 [top_n] — page_seg or chunk row (-1 = empty slot)
     score: jax.Array      # f32 [top_n] — final (bonused) score
-    base_sim: jax.Array   # f32 [top_n] — max raw similarity
+    base_sim: jax.Array   # f32 [top_n] — max similarity AS FUSED: when the
+                          # engine runs with dense_weight != 1.0 the
+                          # non-BM25 arms' sims are pre-scaled by it before
+                          # fusion, so dense-only keys report the weighted
+                          # (e.g. halved) score here and in materialize()'s
+                          # "distance"/"base_similarity" fields (DESIGN.md
+                          # "Sum-fusion")
     n_queries: jax.Array  # i32 [top_n] — distinct queries hitting the key
     n_methods: jax.Array  # i32 [top_n] — distinct retrieval methods
     rep_row: jax.Array    # i32 [top_n] — chunk row achieving the max sim

