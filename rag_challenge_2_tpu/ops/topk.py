@@ -83,7 +83,8 @@ def large_topk_from_scores(
     return vals, idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block", "query_2pass", "approx_rt"))
 def blocked_topk(
     q: jax.Array,
     emb: jax.Array,
@@ -91,6 +92,10 @@ def blocked_topk(
     row_scale: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     block: int = BLOCK_ROWS,
+    assign: Optional[jax.Array] = None,
+    centroids: Optional[jax.Array] = None,
+    query_2pass: bool = False,
+    approx_rt: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k by scanning row blocks with a running merge.
 
@@ -112,6 +117,21 @@ def blocked_topk(
         mask: optional ``[N]`` or ``[B, N]`` bool routing mask.
         block: static rows per scan step (the last block clamps and
             re-masks, so any N works without padding a 10 GB buffer).
+        assign/centroids: centroid-residual store (ops/quant.py
+            ``quantize_rows_residual``) — per-block the exact f32 bias
+            ``(q·c)[:, assign_block]`` is added to the dequantized int8
+            residual dot.  Blocked is the ONLY exact shape for the
+            residual scan at 10M: the one-shot bias gather materializes
+            f32 [N, B] twice (gather + a layout copy feeding the sort),
+            9.5 GB of HLO temp on a 16 GB chip (measured OOM).
+        query_2pass: int8 only — two-level query quantization
+            (ops/quant.quantize_query_2pass): the [2B, D] stacked operand
+            reads each corpus block once for both passes, removing the
+            query-side quantization error at ~2× MXU (not HBM) cost.
+        approx_rt: per-block ``lax.approx_max_k(recall_target=·)``
+            instead of the exact block sort — the running merge stays
+            exact, so the approximation is per 2048-row PartialReduce bin
+            within a block.
 
     Returns ``(values [B, k] f32, indices [B, k] i32)``, descending.
     """
@@ -121,10 +141,23 @@ def blocked_topk(
     k = min(k, N)
     n_blocks = -(-N // block)
     int8 = emb.dtype == jnp.int8
+    if query_2pass and not int8:
+        raise ValueError("query_2pass requires an int8 store")
     if int8:
-        from .quant import quantize_rows
+        from .quant import quantize_query_2pass, quantize_rows
 
-        q_i8, q_scale = quantize_rows(q.astype(jnp.float32))
+        if query_2pass:
+            q_i8, q_s_hi, q_s_lo = quantize_query_2pass(q)
+        else:
+            q_i8, q_scale = quantize_rows(q.astype(jnp.float32))
+    if assign is not None:
+        if not int8:
+            raise ValueError("residual assign/centroids require an int8 store")
+        qc = jnp.dot(
+            q.astype(jnp.float32), centroids.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def step(carry, i):
         top_v, top_i = carry
@@ -143,7 +176,17 @@ def blocked_topk(
             sb = jax.lax.dynamic_slice(
                 row_scale[:, None], (sa, jnp.int32(0)), (block, 1)
             )[:, 0]
-            s = acc.astype(jnp.float32) * q_scale[:, None] * sb[None, :]
+            if query_2pass:
+                accf = acc.astype(jnp.float32)
+                s = (accf[:B] * q_s_hi[:, None]
+                     + accf[B:] * q_s_lo[:, None]) * sb[None, :]
+            else:
+                s = acc.astype(jnp.float32) * q_scale[:, None] * sb[None, :]
+            if assign is not None:
+                ab = jax.lax.dynamic_slice(
+                    assign[:, None], (sa, jnp.int32(0)), (block, 1)
+                )[:, 0]
+                s = s + jnp.take(qc, ab, axis=1)
         else:
             s = jnp.dot(
                 q, eb.T, preferred_element_type=jnp.float32,
@@ -165,7 +208,10 @@ def blocked_topk(
                 s = jnp.where(ok[None, :] & mb, s, NEG_INF)
         else:
             s = jnp.where(ok[None, :], s, NEG_INF)
-        v, j = jax.lax.top_k(s, k)
+        if approx_rt is not None:
+            v, j = jax.lax.approx_max_k(s, k, recall_target=approx_rt)
+        else:
+            v, j = jax.lax.top_k(s, k)
         cv = jnp.concatenate([top_v, v], axis=1)
         ci = jnp.concatenate([top_i, (sa + j).astype(jnp.int32)], axis=1)
         nv, nj = jax.lax.top_k(cv, k)

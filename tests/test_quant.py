@@ -160,3 +160,151 @@ def test_index_int8_save_load_roundtrip(tiny_corpus, tmp_path):
     np.testing.assert_array_equal(np.asarray(idx2.emb), np.asarray(idx8.emb))
     np.testing.assert_allclose(np.asarray(idx2.emb_scale),
                                np.asarray(idx8.emb_scale), rtol=1e-6)
+
+
+def test_residual_quantization_shrinks_error(rng):
+    """Centroid-residual int8: reconstruction error must shrink by the
+    |residual|/|row| ratio vs plain per-row int8 on clustered rows."""
+    from rag_challenge_2_tpu.ops.kmeans import kmeans
+    from rag_challenge_2_tpu.ops.quant import quantize_rows_residual
+
+    x = clustered(rng, 2000, 128, centers=16, noise=0.3)
+    cent, _ = kmeans(jnp.asarray(x), 16, iters=6, seed=0)
+    q, s, a = quantize_rows_residual(jnp.asarray(x), cent)
+    assert q.dtype == jnp.int8 and a.dtype == jnp.int32
+
+    back = np.asarray(cent)[np.asarray(a)] + np.asarray(q, np.float32) * np.asarray(s)[:, None]
+    # reconstruction stays within the per-row quantization step ...
+    assert np.all(np.abs(back - x) <= np.asarray(s)[:, None] / 2 + 1e-7)
+    # ... and the MEAN step (the score-noise driver) shrinks ≥2× vs plain
+    # int8 (max is dominated by cluster-boundary rows and shrinks less)
+    _, s0 = quantize_rows(jnp.asarray(x))
+    ratio = float(np.asarray(s).mean() / np.asarray(s0).mean())
+    assert ratio < 0.5, ratio
+
+
+def test_residual_topk_beats_plain_int8_recall(rng):
+    """The product claim: residual int8 exact scan recovers strictly more
+    of the f32 oracle's top-10 than plain int8 on a tie-dense corpus."""
+    from rag_challenge_2_tpu.ops.kmeans import kmeans
+    from rag_challenge_2_tpu.ops.quant import (
+        int8_residual_topk, quantize_rows_residual)
+
+    # tight clusters -> near-ties inside a cluster -> quantization flips
+    x = clustered(rng, 5000, 256, centers=8, noise=0.08)
+    qv = x[rng.integers(0, 5000, 64)] + 0.02 / np.sqrt(256) * rng.normal(
+        size=(64, 256)).astype(np.float32)
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+
+    _, oracle = dense_topk(jnp.asarray(qv), jnp.asarray(x), 10, impl="xla")
+    oracle = np.asarray(oracle)
+
+    cent, _ = kmeans(jnp.asarray(x), 8, iters=8, seed=0)
+    r8, rs, ra = quantize_rows_residual(jnp.asarray(x), cent)
+    _, ir = int8_residual_topk(jnp.asarray(qv), r8, rs, ra, cent, 10)
+    p8, ps = quantize_rows(jnp.asarray(x))
+    _, ip = int8_topk(jnp.asarray(qv), p8, ps, 10)
+
+    def recall(got):
+        got = np.asarray(got)
+        return np.mean([len(set(got[i]) & set(oracle[i])) / 10
+                        for i in range(64)])
+
+    # seeded draw: measured 0.72 residual vs 0.38 plain — the corpus is
+    # deliberately tie-dense (noise 0.08, query 0.02) so plain int8
+    # collapses; the claim is the ORDERING plus a wide margin
+    r_res, r_plain = recall(ir), recall(ip)
+    assert r_res >= r_plain + 0.15, (r_res, r_plain)
+    assert r_res >= 0.6, r_res
+
+
+def test_residual_topk_respects_mask_and_matches_scores(rng):
+    from rag_challenge_2_tpu.ops.kmeans import kmeans
+    from rag_challenge_2_tpu.ops.quant import (
+        int8_residual_scores, int8_residual_topk, quantize_rows_residual)
+
+    x = clustered(rng, 300, 64, centers=4)
+    qv = jnp.asarray(x[:5])
+    cent, _ = kmeans(jnp.asarray(x), 4, iters=4, seed=0)
+    q8, s, a = quantize_rows_residual(jnp.asarray(x), cent)
+    mask = np.zeros(300, bool)
+    mask[100:200] = True
+    # query_2pass=False: int8_residual_scores is the 1-pass definition,
+    # so exact value parity only holds against the 1-pass scan
+    vals, idx = int8_residual_topk(qv, q8, s, a, cent, 7,
+                                   mask=jnp.asarray(mask),
+                                   query_2pass=False)
+    idx = np.asarray(idx)
+    assert ((idx >= 100) & (idx < 200)).all()
+    scores = np.asarray(int8_residual_scores(qv, q8, s, a, cent))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.sort(scores[:, 100:200], axis=1)[:, ::-1][:, :7],
+        rtol=1e-5, atol=1e-5)
+
+
+def test_query_2pass_near_exact(rng):
+    """Two-level query quantization must reconstruct q to ~1e-5 and the
+    2-pass blocked scan must outrank the 1-pass on tie-dense corpora."""
+    from rag_challenge_2_tpu.ops.quant import quantize_query_2pass
+
+    q = rng.normal(size=(8, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q8, s_hi, s_lo = quantize_query_2pass(jnp.asarray(q))
+    assert q8.shape == (16, 128) and q8.dtype == jnp.int8
+    back = (np.asarray(q8[:8], np.float32) * np.asarray(s_hi)[:, None]
+            + np.asarray(q8[8:], np.float32) * np.asarray(s_lo)[:, None])
+    assert np.abs(back - q).max() < 5e-5
+
+
+def test_residual_topk_2pass_and_approx_paths(rng):
+    from rag_challenge_2_tpu.ops.kmeans import kmeans
+    from rag_challenge_2_tpu.ops.quant import (
+        int8_residual_approx_topk, int8_residual_topk,
+        quantize_rows_residual)
+
+    x = clustered(rng, 3000, 128, centers=8, noise=0.15)
+    qv = jnp.asarray(x[:16])
+    cent, _ = kmeans(jnp.asarray(x), 8, iters=4, seed=0)
+    q8, s, a = quantize_rows_residual(jnp.asarray(x), cent)
+    v1, i1 = int8_residual_topk(qv, q8, s, a, cent, 10, query_2pass=False)
+    v2, i2 = int8_residual_topk(qv, q8, s, a, cent, 10, query_2pass=True)
+    # 2-pass must agree with 1-pass at least on the self-hit
+    assert np.array_equal(np.asarray(i1)[:, 0], np.arange(16))
+    assert np.array_equal(np.asarray(i2)[:, 0], np.arange(16))
+    # approx tier returns valid rows with large top-10 overlap vs exact
+    va, ia = int8_residual_approx_topk(qv, q8, s, a, cent, 10,
+                                       recall_target=0.95)
+    ov = np.mean([
+        len(set(np.asarray(ia)[i]) & set(np.asarray(i2)[i])) / 10
+        for i in range(16)
+    ])
+    assert ov >= 0.9, ov
+
+
+def test_residual_topk_rescored_matches_exact_2pass(rng):
+    """The two-stage tier (approx candidates + exact 2-pass rerank) must
+    reproduce the exact 2-pass scan's top-k on a clustered corpus, and
+    honour routing masks."""
+    from rag_challenge_2_tpu.ops.kmeans import kmeans
+    from rag_challenge_2_tpu.ops.quant import (
+        int8_residual_topk, int8_residual_topk_rescored,
+        quantize_rows_residual)
+
+    x = clustered(rng, 4000, 128, centers=8, noise=0.2)
+    qv = jnp.asarray(x[:16])
+    cent, _ = kmeans(jnp.asarray(x), 8, iters=4, seed=0)
+    q8, s, a = quantize_rows_residual(jnp.asarray(x), cent)
+    ve, ie = int8_residual_topk(qv, q8, s, a, cent, 10, query_2pass=True)
+    vr, ir = int8_residual_topk_rescored(qv, q8, s, a, cent, 10, k_cand=48)
+    ov = np.mean([
+        len(set(np.asarray(ir)[i]) & set(np.asarray(ie)[i])) / 10
+        for i in range(16)
+    ])
+    assert ov >= 0.95, ov
+
+    mask = np.zeros(4000, bool)
+    mask[1000:2000] = True
+    _, im = int8_residual_topk_rescored(qv, q8, s, a, cent, 5, k_cand=16,
+                                        mask=jnp.asarray(mask))
+    got = np.asarray(im)
+    assert np.all(((got >= 1000) & (got < 2000)) | (got == -1))
