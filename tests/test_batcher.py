@@ -194,3 +194,69 @@ def test_error_propagates_to_all_waiters(engine, rng):
     batcher = MicroBatcher(eng, max_batch=4, window_ms=5.0)
     with pytest.raises(ValueError, match="No report found"):
         batcher.search(_q_for(embs, 0, 5, rng), "不存在公司")
+
+
+def test_large_corpus_degrades_to_passthrough(engine, rng, monkeypatch):
+    """Above the measured break-even (WIN_MAX_ROWS) the batcher must STOP
+    batching — pass-through with unbatched parity — instead of warning
+    and halving throughput (measured 0.51x at 1.5M rows)."""
+    import rag_challenge_2_tpu.serving.batcher as bmod
+
+    eng, embs = engine
+    monkeypatch.setattr(bmod, "WIN_MAX_ROWS", 1)  # tiny corpus counts as huge
+    cfg = SearchConfig(top_n=5, top_k=8, use_bm25=True, bm25_top_k=8)
+    with pytest.warns(UserWarning, match="pass-through"):
+        mb = MicroBatcher(eng, max_batch=8, window_ms=50.0)
+    assert mb.passthrough
+
+    q = _q_for(embs, 0, 3, rng)
+    direct = eng.search(q, "金盘科技", "营业收入", cfg=cfg,
+                        query_texts=["营业收入"])
+    results = [None] * 4
+
+    def call(i):
+        results[i] = mb.search(q, "金盘科技", "营业收入", cfg=cfg,
+                               query_texts=["营业收入"])
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for r in results:
+        _same(r, direct)
+    # no coalescing happened: every request was its own dispatch
+    assert mb.stats["dispatches"] == mb.stats["requests"] == 4
+    assert mb.stats["batched_requests"] == 0
+
+
+def test_force_batching_overrides_passthrough(engine, rng, monkeypatch):
+    import rag_challenge_2_tpu.serving.batcher as bmod
+
+    eng, embs = engine
+    monkeypatch.setattr(bmod, "WIN_MAX_ROWS", 1)
+    with pytest.warns(UserWarning, match="FORCED"):
+        mb = MicroBatcher(eng, max_batch=8, window_ms=50.0,
+                          force_batching=True)
+    assert not mb.passthrough
+    cfg = SearchConfig(top_n=5, top_k=8, use_bm25=True, bm25_top_k=8)
+    q = _q_for(embs, 0, 3, rng)
+    direct = eng.search(q, "金盘科技", "营业收入", cfg=cfg,
+                        query_texts=["营业收入"])
+    barrier = threading.Barrier(3)
+    results = [None] * 3
+
+    def call(i):
+        barrier.wait()
+        results[i] = mb.search(q, "金盘科技", "营业收入", cfg=cfg,
+                               query_texts=["营业收入"])
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for r in results:
+        _same(r, direct)
+    assert mb.stats["batched_requests"] == 3
+    assert mb.stats["dispatches"] < 3
