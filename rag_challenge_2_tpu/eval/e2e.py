@@ -34,7 +34,7 @@ import json
 import re
 import zlib
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 from ..llm.providers import StubProvider
 
@@ -59,24 +59,52 @@ def _cmap_stream(cid_of: Dict[str, int]) -> bytes:
     return b"begincmap\n" + b"\n".join(blocks) + b"\nendcmap"
 
 
-def write_pdf(pages: Sequence[str]) -> bytes:
+def write_pdf(pages: Sequence[Union[str, Dict]]) -> bytes:
     """Assemble a digital-text PDF (one Type0 font, 2-byte CIDs, Flate
     streams) whose pages extract back to ``pages`` via
     :func:`ingestion.minipdf.extract_pdf_pages` — the file format every
-    digitally-produced Chinese annual report ships."""
-    chars = sorted({c for p in pages for line in p.split("\n") for c in line})
+    digitally-produced Chinese annual report ships.
+
+    A page may be a plain string or ``{"text": str, "table": [[cell]]}``
+    — table cells are positioned with per-cell ``Tm`` at column origins
+    (the way office print pipelines emit tables), which is exactly the
+    geometry :func:`ingestion.minipdf._detect_tables` recovers a grid
+    from."""
+    def _text_of(p):
+        return p["text"] if isinstance(p, dict) else p
+
+    def _cells_of(p):
+        return [c for row in p.get("table", []) for c in row] \
+            if isinstance(p, dict) else []
+
+    chars = sorted({
+        c for p in pages
+        for s in ([_text_of(p)] + _cells_of(p))
+        for c in s.replace("\n", "")
+    })
     cid_of = {c: i + 1 for i, c in enumerate(chars)}
     if len(cid_of) > 0xFFFE:
         raise ValueError("fixture exceeds the 2-byte CID space")
 
-    def content(page: str) -> bytes:
-        ops = [b"BT /F1 10 Tf 56 780 Td"]
-        for li, line in enumerate(page.split("\n")):
-            hexs = "".join(f"{cid_of[c]:04X}" for c in line).encode()
+    def _hex(s: str) -> bytes:
+        return "".join(f"{cid_of[c]:04X}" for c in s).encode()
+
+    def content(page: Union[str, Dict]) -> bytes:
+        ops = [b"BT /F1 10 Tf 14 TL 56 780 Td"]
+        for li, line in enumerate(_text_of(page).split("\n")):
             if li > 0:
                 ops.append(b"T*")
-            ops.append(b"<%s> Tj" % hexs)
+            ops.append(b"<%s> Tj" % _hex(line))
         ops.append(b"ET")
+        if isinstance(page, dict):
+            for r, row in enumerate(page.get("table", [])):
+                for c, cell in enumerate(row):
+                    if not cell:
+                        continue
+                    ops.append(
+                        b"BT /F1 10 Tf 1 0 0 1 %d %d Tm <%s> Tj ET"
+                        % (56 + 150 * c, 500 - 16 * r, _hex(cell))
+                    )
         return zlib.compress(b" ".join(ops))
 
     cmap = _cmap_stream(cid_of)
@@ -230,7 +258,32 @@ def _doc_pages(company: str, year: int) -> List[str]:
         f"研发费用 {rd}亿元\n"
         f"经审计的财务报表全文及附注详见公司指定信息披露媒体。"
     )
-    return [p1, p2, p3, p4, p5, p6]
+    # p7: a POSITIONED table (write_pdf renders cells with per-cell Tm)
+    # whose figures appear nowhere in the prose — answering the 总资产 /
+    # 资产负债率 questions requires the builtin parser's grid detector +
+    # the table→markdown merge path (reference: TableFormer structure,
+    # src/pdf_parsing.py:134-162 + tables md, :549-651)
+    ta, ta_prev = _table_metrics(rev)
+    ratio = round(38.0 + (rev * 7.0) % 15.0, 1)
+    p7 = {
+        "text": (
+            "第七节 主要会计数据\n"
+            "公司近两年主要资产负债数据如下表所示，"
+            "表中金额均按期末数列示。"
+        ),
+        "table": [
+            ["项目", f"{year}年末", f"{year - 1}年末"],
+            ["总资产", f"{ta}亿元", f"{ta_prev}亿元"],
+            ["资产负债率", f"{ratio}%", f"{round(ratio + 1.8, 1)}%"],
+        ],
+    }
+    return [p1, p2, p3, p4, p5, p6, p7]
+
+
+def _table_metrics(rev: float) -> Tuple[float, float]:
+    """Deterministic fiction: period-end total assets from revenue."""
+    ta = round(rev * 2.2 + 7.0, 2)
+    return ta, round(ta * 0.88, 2)
 
 
 def fixture_docs() -> List[Dict]:
@@ -279,6 +332,20 @@ GOLDEN_QA: List[Dict] = [
     {"question": "启明数控的主要产品有哪些？", "schema": "names",
      "value": ["五轴联动加工中心", "高精度伺服系统", "工业软件套件"],
      "company": "启明数控", "gold_page": 1},
+    # table-only metrics (p7 grid — exercises minipdf table detection +
+    # the markdown splice; the values appear in no prose block)
+    {"question": "华岳电气2024年末总资产是多少亿元？", "schema": "number",
+     "value": _table_metrics(151.02)[0], "company": "华岳电气",
+     "gold_page": 7},
+    # current-period only: a "2023年末" ask would also match the 2024
+    # report's comparison column under the ±1-year route — a genuine
+    # ambiguity the extractive stub cannot arbitrate
+    {"question": "沧海储能2024年末总资产是多少亿元？", "schema": "number",
+     "value": _table_metrics(117.80)[0], "company": "沧海储能",
+     "gold_page": 7},
+    {"question": "启明数控2024年资产负债率是多少？", "schema": "number",
+     "value": round(38.0 + (48.77 * 7.0) % 15.0, 1), "company": "启明数控",
+     "gold_page": 7},
 ]
 
 
@@ -303,8 +370,8 @@ def build_fixture(root: Path) -> None:
 
 # ------------------------------------------------- deterministic answerer
 
-_METRICS = ["归母净利润", "综合毛利率", "毛利率", "营业收入", "研发费用",
-            "海外收入占比", "净利润"]
+_METRICS = ["资产负债率", "总资产", "归母净利润", "综合毛利率", "毛利率",
+            "营业收入", "研发费用", "海外收入占比", "净利润"]
 _NUM_RE = r"([0-9]+(?:\.[0-9]+)?)"
 _CTX_BLOCK_RE = re.compile(
     r'Text retrieved from page (\d+): \s*\n"""\n(.*?)\n"""', re.S
@@ -419,8 +486,10 @@ class ExtractiveStubProvider(StubProvider):
 
         metric = next((mt for mt in _METRICS if mt in q), None)
         if metric:
+            # '比' excluded from the gap: "占营业收入的比例为9.60%" is the
+            # ratio OF the metric, not the metric (measured false hit)
             pat = re.compile(
-                re.escape(metric) + r"[^0-9。\n]{0,14}?" + _NUM_RE
+                re.escape(metric) + r"[^0-9。\n比]{0,14}?" + _NUM_RE
                 + r"\s*(?:亿元|%|％)"
             )
             ym = re.search(r"(20\d{2})年", q)

@@ -495,16 +495,44 @@ def _fonts_of(doc: _Document, resources: Optional[dict]) -> Dict[str, _Font]:
     return out
 
 
-def _page_text(doc: _Document, page: dict) -> str:
-    """Interpret the page's content stream text operators."""
+def _interpret_page(
+    doc: _Document, page: dict
+) -> Tuple[List[str], List[Optional[float]], List[Tuple[float, float, str]]]:
+    """Interpret the page's content stream text operators.
+
+    Returns ``(lines, line_ys, runs)``: the line-broken text (the
+    original heuristics), each line's device-space y (of its first glyph
+    run; None for lines that never got one), and the positioned text runs
+    ``(x, y, text)`` — one per show operator, at the line-matrix origin —
+    that feed the table-grid detector (:func:`_detect_tables`)."""
     lines: List[str] = [""]
+    line_ys: List[Optional[float]] = [None]
+    runs: List[Tuple[float, float, str]] = []
+    # text line matrix [a b c d e f] (PDF 9.4.2) — tracked so every show
+    # op knows its origin.  Identity outside BT/ET; Tm sets it, Td/TD/T*
+    # translate it in text space.
+    lm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    leading = [0.0]
 
     def emit(s: str) -> None:
+        if not s:
+            return
+        if line_ys[-1] is None:
+            line_ys[-1] = lm[5]
         lines[-1] += s
+        if runs and runs[-1][0] == lm[4] and runs[-1][1] == lm[5]:
+            runs[-1] = (lm[4], lm[5], runs[-1][2] + s)
+        else:
+            runs.append((lm[4], lm[5], s))
 
     def newline() -> None:
         if lines[-1]:
             lines.append("")
+            line_ys.append(None)
+
+    def translate(tx: float, ty: float) -> None:
+        lm[4] += lm[0] * tx + lm[2] * ty
+        lm[5] += lm[1] * tx + lm[3] * ty
 
     def run(content: bytes, resources: Optional[dict], depth: int) -> None:
         fonts = _fonts_of(doc, resources)
@@ -513,6 +541,11 @@ def _page_text(doc: _Document, page: dict) -> str:
         font = _DEFAULT_FONT
         stack: List = []
         cur_y: Optional[float] = None
+
+        def nums(n: int) -> List[float]:
+            vals = [v for k, v in stack[-n:] if k == "num"]
+            return vals if len(vals) == n else []
+
         while True:
             tok = lex.next_token()
             if tok is None:
@@ -528,6 +561,7 @@ def _page_text(doc: _Document, page: dict) -> str:
                 emit(font.decode(stack[-1][1]))
             elif op in (b"'", b'"'):
                 newline()
+                translate(0.0, -leading[0])
                 strs = [v for k, v in stack if k == "str"]
                 if strs:
                     emit(font.decode(strs[-1]))
@@ -538,18 +572,29 @@ def _page_text(doc: _Document, page: dict) -> str:
                     elif isinstance(el, (int, float)) and el < -180:
                         emit(" ")          # large kern ≈ word gap
             elif op in (b"Td", b"TD") and len(stack) >= 2:
-                ty = stack[-1][1] if stack[-1][0] == "num" else 0
+                v = nums(2)
+                tx, ty = v if v else (0.0, 0.0)
+                if op == b"TD":
+                    leading[0] = -ty
+                translate(tx, ty)
                 if ty != 0:
                     newline()
+            elif op == b"TL" and stack and stack[-1][0] == "num":
+                leading[0] = stack[-1][1]
             elif op == b"T*":
+                translate(0.0, -leading[0])
                 newline()
             elif op == b"Tm" and len(stack) >= 6:
-                y = stack[-1][1] if stack[-1][0] == "num" else None
-                if cur_y is not None and y is not None and y != cur_y:
-                    newline()
-                cur_y = y
+                v = nums(6)
+                if v:
+                    y = v[5]
+                    if cur_y is not None and y != cur_y:
+                        newline()
+                    cur_y = y
+                    lm[:] = v
             elif op == b"BT":
                 cur_y = None
+                lm[:] = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
             elif op == b"ET":
                 newline()
             elif op == b"BI":
@@ -579,7 +624,133 @@ def _page_text(doc: _Document, page: dict) -> str:
             stack.clear()
 
     run(doc.content_bytes(page), doc.page_resources(page), 0)
+    return lines, line_ys, runs
+
+
+def _page_text(doc: _Document, page: dict) -> str:
+    lines, _, _ = _interpret_page(doc, page)
     return "\n".join(ln.rstrip() for ln in lines).strip("\n")
+
+
+# ------------------------------------------------------------------ tables
+#
+# Digital-text financial PDFs position each table cell with its own
+# Td/Tm, so cells carry device coordinates even though the builtin parser
+# never rasterises anything.  The detector recovers the grid from run
+# positions alone (no rules/strokes needed): cluster runs into baseline
+# rows, find stretches of consecutive multi-cell rows, cluster their x
+# origins into columns.  This replaces docling's TableFormer output
+# (reference src/pdf_parsing.py:134-162, 549-651) for the builtin path —
+# structure from geometry instead of a layout model.
+
+_ROW_TOL = 2.0      # pts: baselines within this merge into one row
+_COL_TOL = 14.0     # pts: x origins within this merge into one column
+
+
+def _detect_tables(
+    runs: List[Tuple[float, float, str]],
+    min_rows: int = 2,
+    min_cols: int = 2,
+) -> List[Dict]:
+    """Table grids from positioned runs.
+
+    Returns docling-shaped dicts: ``{"data": {"grid": [[{"text"}..]],
+    "num_rows", "num_cols"}, "bbox": {...}, "row_ys": [...]}`` — the
+    ``row_ys`` let the caller drop the table's lines from the flowed page
+    text (the reference separates table cells from text items the same
+    way)."""
+    if not runs:
+        return []
+    # ---- cluster into baseline rows (y desc = top to bottom) ----------
+    by_y = sorted(runs, key=lambda r: (-r[1], r[0]))
+    rows: List[Dict] = []
+    for x, y, text in by_y:
+        if not text.strip():
+            continue
+        if rows and abs(rows[-1]["y"] - y) <= _ROW_TOL:
+            rows[-1]["cells"].append((x, text))
+        else:
+            rows.append({"y": y, "cells": [(x, text)]})
+    for row in rows:
+        # merge same-origin fragments, order cells left to right
+        row["cells"].sort(key=lambda c: c[0])
+        merged: List[List] = []
+        for x, text in row["cells"]:
+            if merged and x - merged[-1][0] <= 1.0:
+                merged[-1][1] += text
+            else:
+                merged.append([x, text])
+        row["cells"] = merged
+
+    # ---- maximal stretches of consecutive multi-cell rows -------------
+    tables: List[Dict] = []
+    i = 0
+    while i < len(rows):
+        if len(rows[i]["cells"]) < 2:
+            i += 1
+            continue
+        j = i
+        while j + 1 < len(rows) and len(rows[j + 1]["cells"]) >= 2:
+            j += 1
+        region = rows[i:j + 1]
+        i = j + 1
+        if len(region) < min_rows:
+            continue
+        # ---- columns: 1-D cluster of x origins over the region --------
+        xs = sorted({c[0] for row in region for c in row["cells"]})
+        col_starts = [xs[0]]
+        for x in xs[1:]:
+            if x - col_starts[-1] > _COL_TOL:
+                col_starts.append(x)
+        if len(col_starts) < min_cols:
+            continue
+
+        def col_of(x: float) -> int:
+            best, bd = 0, abs(x - col_starts[0])
+            for ci, cx in enumerate(col_starts):
+                d = abs(x - cx)
+                if d < bd:
+                    best, bd = ci, d
+            return best
+
+        grid = []
+        for row in region:
+            cells = [""] * len(col_starts)
+            for x, text in row["cells"]:
+                ci = col_of(x)
+                cells[ci] = (cells[ci] + " " + text).strip() if cells[ci] \
+                    else text.strip()
+            grid.append([{"text": c} for c in cells])
+        ys = [row["y"] for row in region]
+        tables.append({
+            "data": {
+                "grid": grid,
+                "num_rows": len(grid),
+                "num_cols": len(col_starts),
+            },
+            "bbox": {"l": xs[0], "t": max(ys) + _ROW_TOL,
+                     "r": xs[-1], "b": min(ys) - _ROW_TOL},
+            "row_ys": ys,
+        })
+    return tables
+
+
+def _page_structured(doc: _Document, page: dict) -> Dict:
+    lines, line_ys, runs = _interpret_page(doc, page)
+    tables = _detect_tables(runs)
+    table_ys = set()
+    for t in tables:
+        table_ys.update(t["row_ys"])
+
+    def in_table(y: Optional[float]) -> bool:
+        return y is not None and any(abs(y - ty) <= _ROW_TOL
+                                     for ty in table_ys)
+
+    kept = [ln.rstrip() for ln, y in zip(lines, line_ys) if not in_table(y)]
+    return {
+        "text": "\n".join(kept).strip("\n"),
+        "tables": tables,
+    }
 
 
 def extract_pdf_pages(data: bytes) -> List[str]:
@@ -593,3 +764,14 @@ def extract_pdf_pages(data: bytes) -> List[str]:
         raise ValueError("encrypted PDF: built-in extraction would emit "
                          "ciphertext; parse with docling or decrypt first")
     return [_page_text(doc, p) for p in doc.page_objects()]
+
+
+def extract_pdf_pages_structured(data: bytes) -> List[Dict]:
+    """Per page: ``{"text", "tables"}`` with detected table grids removed
+    from the flowed text (they render as markdown downstream —
+    ingestion/merging.py splices ``report["tables"]`` back in by id)."""
+    doc = _Document(data)
+    if doc.encrypted:
+        raise ValueError("encrypted PDF: built-in extraction would emit "
+                         "ciphertext; parse with docling or decrypt first")
+    return [_page_structured(doc, p) for p in doc.page_objects()]

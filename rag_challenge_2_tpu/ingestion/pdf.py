@@ -66,24 +66,48 @@ class PlainTextParser:
         self.metadata = pd.read_csv(metadata_path) if metadata_path else None
 
     def parse_file(self, path: Path) -> Dict:
+        page_tables: List[List[Dict]] = []
         if Path(path).suffix.lower() == ".pdf":
-            from .minipdf import extract_pdf_pages
+            from .minipdf import extract_pdf_pages_structured
 
-            page_texts = extract_pdf_pages(Path(path).read_bytes())
+            structured = extract_pdf_pages_structured(Path(path).read_bytes())
+            page_texts = [p["text"] for p in structured]
+            page_tables = [p["tables"] for p in structured]
         else:
             page_texts = Path(path).read_text(encoding="utf-8").split("\f")
         pages = []
+        tables: List[Dict] = []
         for i, page_text in enumerate(page_texts):
             blocks = [
                 {"type": "text", "text": para.strip()}
                 for para in page_text.split("\n\n")
                 if para.strip()
             ]
+            # geometry-detected grids (minipdf._detect_tables) take the
+            # docling table contract: a {type: table, table_id} ref in the
+            # page body + full markdown/html/grid in report["tables"], so
+            # merging (table_id splice), serialization (tables.py) and the
+            # serialized-table chunk type all work without docling
+            for tbl in (page_tables[i] if i < len(page_tables) else []):
+                tid = len(tables)
+                blocks.append({"type": "table", "table_id": tid})
+                bbox = tbl.get("bbox", {})
+                tdata = tbl["data"]
+                tables.append({
+                    "table_id": tid,
+                    "page": i + 1,
+                    "bbox": [bbox.get(k, 0) for k in ("l", "t", "r", "b")],
+                    "#-rows": tdata["num_rows"],
+                    "#-cols": tdata["num_cols"],
+                    "markdown": _table_to_md(tbl),
+                    "html": _table_to_html(tbl),
+                    "json": tdata,
+                })
             pages.append({"page": i + 1, "content": blocks, "page_dimensions": {}})
         return {
             "metainfo": _metainfo_for(Path(path).stem, self.metadata),
             "content": normalize_page_sequence(pages),
-            "tables": [],
+            "tables": tables,
             "pictures": [],
         }
 

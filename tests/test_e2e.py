@@ -37,7 +37,11 @@ def test_fixture_docs_carry_every_golden_fact():
             cands = [d for d in cands if d["year"] == int(ym.group(1))]
         assert cands, g["question"]
         for d in cands:
-            page_text = d["pages"][g["gold_page"] - 1]
+            page = d["pages"][g["gold_page"] - 1]
+            page_text = page if isinstance(page, str) else (
+                page["text"] + "\n"
+                + "\n".join(c for row in page.get("table", []) for c in row)
+            )
             if g["schema"] == "number":
                 assert str(g["value"]) in page_text, (g["question"], d["sha1"])
             elif g["schema"] == "names":

@@ -585,3 +585,84 @@ def test_get_parser_kinds(tmp_path):
     assert isinstance(get_parser(tmp_path, kind="builtin"), PlainTextParser)
     with pytest.raises(ValueError, match="unknown parser kind"):
         get_parser(tmp_path, kind="pdfminer")
+
+
+def _build_table_pdf() -> bytes:
+    """A digital-text page shaped like a financial statement: a title, a
+    3-col x 4-row table positioned cell-by-cell with Td (the way office
+    print pipelines emit tables), and a footer paragraph."""
+    rows = [
+        ("item", "2023", "2024"),
+        ("Revenue", "1,234", "2,468"),
+        ("Margin", "31.5%", "33.1%"),
+        ("Orders", "890", "1,020"),
+    ]
+    ops = [b"BT /F1 10 Tf 1 0 0 1 56 760 Tm (Financial summary) Tj ET"]
+    xs = (56, 220, 330)
+    y = 720
+    for r, row in enumerate(rows):
+        for c, cell in enumerate(row):
+            ops.append(b"BT /F1 10 Tf 1 0 0 1 %d %d Tm (%s) Tj ET"
+                       % (xs[c], y - 16 * r, cell.encode()))
+    ops.append(b"BT /F1 10 Tf 1 0 0 1 56 640 Tm "
+               b"(Figures are audited.) Tj ET")
+    c1 = b" ".join(ops)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    return _wrap_pdf(objs)
+
+
+def test_minipdf_detects_table_grid():
+    """Geometry-only table recovery (the builtin replacement for docling's
+    TableFormer, reference src/pdf_parsing.py:134-162): aligned cell
+    origins -> one 4x3 grid; title and footer stay in the flowed text."""
+    from rag_challenge_2_tpu.ingestion.minipdf import (
+        extract_pdf_pages_structured)
+
+    pages = extract_pdf_pages_structured(_build_table_pdf())
+    assert len(pages) == 1
+    page = pages[0]
+    assert len(page["tables"]) == 1
+    grid = page["tables"][0]["data"]
+    assert grid["num_rows"] == 4 and grid["num_cols"] == 3
+    assert grid["grid"][1][0]["text"] == "Revenue"
+    assert grid["grid"][1][2]["text"] == "2,468"
+    assert grid["grid"][2][1]["text"] == "31.5%"
+    # table lines removed from the flow; prose kept
+    assert "Revenue" not in page["text"]
+    assert "Financial summary" in page["text"]
+    assert "Figures are audited." in page["text"]
+
+
+def test_plain_text_parser_emits_table_contract(tmp_path):
+    """PlainTextParser output feeds merging + serialization: the page body
+    carries a table ref, report['tables'] carries markdown/html/grid."""
+    from rag_challenge_2_tpu.ingestion.merging import PageTextPreparation
+    from rag_challenge_2_tpu.ingestion.pdf import PlainTextParser
+
+    pdf_path = tmp_path / "T2024_tbl.pdf"
+    pdf_path.write_bytes(_build_table_pdf())
+    out_dir = tmp_path / "parsed"
+    PlainTextParser(out_dir).parse_and_export([pdf_path])
+    report = json.loads((out_dir / "T2024_tbl.json").read_text("utf-8"))
+
+    assert len(report["tables"]) == 1
+    tbl = report["tables"][0]
+    assert tbl["#-rows"] == 4 and tbl["#-cols"] == 3
+    assert "Revenue" in tbl["markdown"] and "2,468" in tbl["markdown"]
+    assert tbl["html"].startswith("<table>") and "31.5%" in tbl["html"]
+    refs = [b for p in report["content"] for b in p["content"]
+            if b.get("type") == "table"]
+    assert refs == [{"type": "table", "table_id": 0}]
+
+    # merging splices the markdown back in by table_id
+    merged = PageTextPreparation().process_report(report)
+    page_text = merged["content"]["pages"][0]["text"]
+    assert "Revenue" in page_text and "2,468" in page_text
+    assert "Financial summary" in page_text
