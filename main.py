@@ -152,7 +152,8 @@ def serve_cmd(root, config, host, port, company, micro_batch):
     p = _pipeline(root, config)
     if micro_batch:
         p.run_config = dataclasses.replace(p.run_config, micro_batch=micro_batch)
-    serve(p.build_processor(), host=host, port=port, default_company=company)
+    serve(p.build_processor(), host=host, port=port, default_company=company,
+          pdf_dir=p.paths.pdf_reports_dir)
 
 
 @cli.command("train-encoder")

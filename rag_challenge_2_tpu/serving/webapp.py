@@ -150,8 +150,16 @@ async function showPage(sha1, page) {
   const r = await fetch(`/api/page?doc=${encodeURIComponent(sha1)}&page=${page}`);
   const d = await r.json();
   const pv = document.getElementById('pageview');
-  pv.innerHTML = `<h4>${esc(sha1)} · 第 ${page} 页 <small>(点击关闭)</small></h4>` +
-                 esc(d.text || d.error || '(无内容)');
+  let body = '';
+  if (d.image_png_base64) {
+    body += `<img src="data:image/png;base64,${d.image_png_base64}" style="width:100%">`;
+  } else if (d.pdf_url) {
+    // browser-native PDF render of the SOURCE page (#page anchor) —
+    // stopPropagation so interacting with the frame doesn't close the pane
+    body += `<iframe src="${d.pdf_url}" style="width:100%;height:55vh;border:1px solid #ccc" onclick="event.stopPropagation()"></iframe>`;
+  }
+  body += `<div style="white-space:pre-wrap">${esc(d.text || d.error || '(无内容)')}</div>`;
+  pv.innerHTML = `<h4>${esc(sha1)} · 第 ${page} 页 <small>(点击关闭)</small></h4>` + body;
   pv.style.display = 'block';
 }
 function refsTable(refs) {
@@ -491,11 +499,31 @@ class QAWebApp:
         except Exception:
             return None
 
+    def _pdf_path(self, sha1: str):
+        """Source PDF path for a sha1, or None — refuses names that could
+        escape pdf_dir (sha1 comes from a URL query)."""
+        if self.pdf_dir is None or not sha1 or "/" in sha1 or "\\" in sha1 \
+                or ".." in sha1:
+            return None
+        from pathlib import Path
+
+        p = Path(self.pdf_dir) / f"{sha1}.pdf"
+        return p if p.exists() else None
+
+    def pdf_bytes(self, query: Dict[str, List[str]]) -> Optional[bytes]:
+        """Raw source-PDF bytes for ``/api/pdf?doc=sha1`` — the browser's
+        native viewer renders it, and the client opens it with a
+        ``#page=N`` anchor, giving true cited-PAGE viewing (reference
+        app_jinpan_qa.py:307-352) with no rasterizer dependency."""
+        p = self._pdf_path((query.get("doc") or [""])[0])
+        return p.read_bytes() if p is not None else None
+
     def page(self, query: Dict[str, List[str]]) -> Dict:
         """Cited-page viewer (reference app_jinpan_qa.py:307-352): a PDF
-        page image when PyMuPDF + the source PDF are available, the
-        indexed page text otherwise — same navigation contract (1-based
-        page numbers)."""
+        page image when PyMuPDF + the source PDF are available, plus a
+        ``pdf_url`` (#page anchor into /api/pdf) whenever the source PDF
+        exists, the indexed page text always — same navigation contract
+        (1-based page numbers)."""
         sha1 = (query.get("doc") or [""])[0]
         try:
             pageno = int((query.get("page") or ["0"])[0])
@@ -505,6 +533,10 @@ class QAWebApp:
         if text is None:
             return {"error": f"no indexed page {pageno} in {sha1}"}
         out = {"doc": sha1, "page": pageno, "text": text}
+        if self._pdf_path(sha1) is not None:
+            from urllib.parse import quote
+
+            out["pdf_url"] = f"/api/pdf?doc={quote(sha1)}#page={pageno}"
         img = self._page_image(sha1, pageno)
         if img is not None:
             out["image_png_base64"] = img
@@ -636,6 +668,12 @@ class QAWebApp:
                 elif parsed.path == "/api/page":
                     body = json.dumps(app.page(parse_qs(parsed.query)), ensure_ascii=False)
                     self._send(200, body.encode(), "application/json")
+                elif parsed.path == "/api/pdf":
+                    blob = app.pdf_bytes(parse_qs(parsed.query))
+                    if blob is None:
+                        self._send(404, b"no such pdf", "text/plain")
+                    else:
+                        self._send(200, blob, "application/pdf")
                 else:
                     self._send(404, b"not found", "text/plain")
 

@@ -249,3 +249,38 @@ def test_page_viewer_image_feature_gate(tiny_corpus, rng, tmp_path, monkeypatch)
     # out-of-range page → text fallback, no crash
     out3 = app2.page({"doc": [sha1], "page": ["4"]})
     assert "image_png_base64" not in out3 or out3.get("image_png_base64")
+
+
+def test_pdf_page_viewer_serves_source_bytes(tiny_corpus, rng, tmp_path):
+    """With pdf_dir set, /api/page returns a pdf_url with a #page anchor
+    and /api/pdf streams the raw source bytes (the dependency-free
+    cited-page viewer, reference app_jinpan_qa.py:307-352)."""
+    from tests.test_qa import make_processor, BASE_SCRIPT
+    from rag_challenge_2_tpu.serving import QAWebApp
+
+    blob = b"%PDF-1.4\nfixture-bytes\n%%EOF\n"
+    (tmp_path / "J2023_doc0.pdf").write_bytes(blob)
+    proc, _ = make_processor(tiny_corpus, rng, dict(BASE_SCRIPT))
+    app = QAWebApp(proc, default_company="金盘科技", pdf_dir=tmp_path)
+    server = app.make_server(port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_port}"
+    try:
+        out = json.loads(urllib.request.urlopen(
+            url + "/api/page?doc=J2023_doc0&page=2").read())
+        assert out["pdf_url"] == "/api/pdf?doc=J2023_doc0#page=2"
+        got = urllib.request.urlopen(url + "/api/pdf?doc=J2023_doc0")
+        assert got.headers["Content-Type"] == "application/pdf"
+        assert got.read() == blob
+        # docs without a source PDF keep the text-only contract
+        out2 = json.loads(urllib.request.urlopen(
+            url + "/api/page?doc=J2024_doc1&page=1").read())
+        assert "pdf_url" not in out2 and out2["page"] == 1
+        # missing / traversal-shaped names 404
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(url + "/api/pdf?doc=nope")
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(url + "/api/pdf?doc=..%2FJ2023_doc0")
+    finally:
+        server.shutdown()
