@@ -108,6 +108,7 @@ def make_hierarchical_topk(
     slice_axis: str = "slice",
     dev_axis: str = "device",
     int8: bool = False,
+    pair_mask: bool = False,
 ):
     """Two-level distributed top-k over a (slice × device) mesh.
 
@@ -130,8 +131,14 @@ def make_hierarchical_topk(
     Rows are sharded over the flattened (slice, device) order:
     ``P((slice_axis, dev_axis), None)`` — global row =
     ((slice · n_dev) + dev) · rows_per_shard + local row.
+
+    ``pair_mask=True`` takes a PER-QUERY ``[B, N]`` routing mask (column-
+    sharded ``P(None, (slice, dev))``) instead of the shared ``[N]`` one —
+    the shape the engine's (query × doc-slot) anchor grid produces, which
+    is how ``retrieval.engine.search_device(hier=...)`` runs its dense
+    stage through this merge.
     """
-    key = (mesh, k, slice_axis, dev_axis, int8, "hier")
+    key = (mesh, k, slice_axis, dev_axis, int8, pair_mask, "hier")
     cached = _TOPK_CACHE.get(key)
     if cached is not None:
         return cached
@@ -166,7 +173,8 @@ def make_hierarchical_topk(
                 q, emb_l.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        scores = jnp.where(mask_l[None, :], scores, NEG_INF)
+        scores = jnp.where(mask_l if pair_mask else mask_l[None, :],
+                           scores, NEG_INF)
         k_l = min(k, rows_per_shard)
         vals, idx = jax.lax.top_k(scores, k_l)
         shard = (
@@ -179,8 +187,9 @@ def make_hierarchical_topk(
         # level 2 — DCN across slices: k candidates per slice, not S_dev·k
         return merge(sv, si, slice_axis, n_slices, k)
 
-    in_specs = (P(None, None), P((slice_axis, dev_axis), None),
-                P((slice_axis, dev_axis)))
+    mask_spec = (P(None, (slice_axis, dev_axis)) if pair_mask
+                 else P((slice_axis, dev_axis)))
+    in_specs = (P(None, None), P((slice_axis, dev_axis), None), mask_spec)
     if int8:
         in_specs = in_specs + (P((slice_axis, dev_axis)),)
     fn = shard_map(

@@ -153,7 +153,7 @@ def _flatten_hits(rows, sims, qids, mids, valid):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "window"))
+@functools.partial(jax.jit, static_argnames=("cfg", "window", "hier"))
 def search_device(
     index: CorpusIndex,
     q: jax.Array,          # [Q, D] padded query embeddings
@@ -168,6 +168,9 @@ def search_device(
     win_len: Optional[jax.Array] = None,    # [M] doc window lengths
     slot_doc: Optional[jax.Array] = None,  # [M] routed doc id per slot (-1 pad)
     window: int = 0,       # static doc-window size; 0 = full-corpus hops
+    hier=None,             # (Mesh, slice_axis, dev_axis): dense stage runs
+                           # the two-level ICI/DCN merge (SURVEY §5) over a
+                           # (slice × device)-sharded row store
 ) -> Tuple[FusedCandidates, Dict]:
     """Full fan-out + aggregation for one question, on device.
 
@@ -228,6 +231,21 @@ def search_device(
         less even with no slots skipped; per-slot applies only while
         M·window stays within 2× the corpus."""
         k = min(k, N)
+        if hier is not None:
+            # pod path (SURVEY §5): rows sharded P((slice, device), None)
+            # — local top-k per device, all_gather merge over ICI within
+            # the slice, then k candidates per slice over DCN.  The
+            # per-(query, doc) routing rides the column-sharded pair_mask.
+            from ..parallel.sharded_search import make_hierarchical_topk
+
+            mesh_h, s_ax, d_ax = hier
+            int8 = index.emb_scale is not None
+            kern = make_hierarchical_topk(
+                mesh_h, k, s_ax, d_ax, int8=int8, pair_mask=True)
+            args = (q_pair, emb, pair_mask)
+            if int8:
+                args = args + (index.emb_scale,)
+            return kern(*args)
         if use_window and window >= k and M * window <= 2 * N:
             from ..ops.quant import int8_scores
             from ..ops.topk import large_topk_from_scores
@@ -612,13 +630,18 @@ class QueryEngine:
     (reference src/retrieval.py:1719-1754).
     """
 
-    def __init__(self, index: CorpusIndex, meta: CorpusMeta, ivf=None):
+    def __init__(self, index: CorpusIndex, meta: CorpusMeta, ivf=None,
+                 hier=None):
         self.index = index
         self.meta = meta
         # optional clustered index for use_ivf configs: an IVFIndex
         # (build_ivf) or a parallel.sharded_ivf.ShardedIVF (distributed
         # probes over the index's mesh — pair with a row-sharded corpus)
         self.ivf = ivf
+        # optional (Mesh, slice_axis, dev_axis): dense candidates run the
+        # hierarchical ICI/DCN merge (parallel/sharded_search) — pair with
+        # index.emb sharded P((slice_axis, dev_axis), None)
+        self.hier = hier
         self._doc_ids_np = np.asarray(index.doc_id)
         # host copies of the routing columns, pulled once: routing is a
         # host decision and must not cost a device round-trip per question
@@ -849,7 +872,7 @@ class QueryEngine:
         cands, details = search_device(
             self.index, q_dev, qv_dev, dm, dv, cfg, q_terms,
             self.ivf if cfg.use_ivf else None, row_slot,
-            ws, wl, slot_doc, window=self.window,
+            ws, wl, slot_doc, window=self.window, hier=self.hier,
         )
         return (cands, details) if with_details else cands
 

@@ -181,3 +181,49 @@ def test_engine_traversal_on_row_sharded_index(tiny_corpus, method):
     assert [r["rep_row"] for r in got] == [r["rep_row"] for r in base]
     for a, b in zip(got, base):
         assert abs(a["distance"] - b["distance"]) < 1e-4
+
+
+def test_engine_hier_merge_through_product_graph(rng):
+    """search_device(hier=...) runs the dense stage through the two-level
+    ICI/DCN merge (make_hierarchical_topk pair_mask mode) INSIDE the full
+    hybrid graph — fused rows/scores must match the replicated engine
+    (VERDICT r4 #9: the DCN-aware merge exercised through the product
+    graph, not standalone)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rag_challenge_2_tpu.index import build_corpus_index
+    from rag_challenge_2_tpu.retrieval.engine import QueryEngine, SearchConfig
+    from tests.conftest import make_reports
+
+    # 3 docs x 16 chunks = 48 rows — divisible by the 2x4 (slice, device)
+    # grid (shard_map needs even shards; production pads via store layout)
+    reports, embs = make_reports(rng, chunks_per_page=4)
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=16)
+    assert idx.emb.shape[0] % 8 == 0
+
+    q = embs[0][5][None, :].astype(np.float32)
+    cfg = SearchConfig(method="basic", top_k=5, top_n=10, use_bm25=True)
+    eng_plain = QueryEngine(idx, meta)
+    base = eng_plain.materialize(
+        eng_plain.search(q, "金盘科技", cfg=cfg, query_texts=["营业收入"]), cfg
+    )
+
+    mesh = make_mesh({"slice": 2, "device": 4})
+    sharded_idx = dataclasses.replace(
+        idx,
+        emb=jax.device_put(
+            idx.emb, NamedSharding(mesh, P(("slice", "device"), None))),
+        valid=jax.device_put(
+            idx.valid, NamedSharding(mesh, P(("slice", "device")))),
+    )
+    eng = QueryEngine(sharded_idx, meta, hier=(mesh, "slice", "device"))
+    got = eng.materialize(
+        eng.search(q, "金盘科技", cfg=cfg, query_texts=["营业收入"]), cfg
+    )
+    assert [r["rep_row"] for r in got] == [r["rep_row"] for r in base]
+    for a, b in zip(got, base):
+        assert abs(a["distance"] - b["distance"]) < 1e-4
+        assert a["method_count"] == b["method_count"]
