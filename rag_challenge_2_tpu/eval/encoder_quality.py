@@ -26,7 +26,7 @@ the quality.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -243,10 +243,17 @@ def build_dataset_v2(
 
 
 def paraphrase_pairs(
-    ds: QualityDataset, n: int, rng: np.random.Generator
+    ds: QualityDataset, n: int, rng: np.random.Generator,
+    metrics: Optional[Dict] = None,
+    templates: Optional[List[str]] = None,
 ) -> Tuple[List[str], List[str]]:
     """Supervised (paraphrase query, gold chunk) pairs from TRAIN facts only
-    — the eval facts stay unseen in both wording and identity."""
+    — the eval facts stay unseen in both wording and identity.
+
+    ``metrics``/``templates`` default to corpus #1's; pass ``METRICS_V2`` /
+    ``_QUERY_TEMPLATES_V2`` to build the corpus-#2 supervised arm."""
+    metrics = metrics or METRICS
+    templates = templates or _QUERY_TEMPLATES
     by_fact: Dict[int, List[int]] = {}
     for i, f in enumerate(ds.fact_of_chunk):
         if f >= 0:
@@ -256,9 +263,9 @@ def paraphrase_pairs(
     for _ in range(n):
         fi = train[int(rng.integers(0, len(train)))]
         c, y, m = ds.fact_tuples[fi]
-        aliases = METRICS[m][1]
+        aliases = metrics[m][1]
         a = aliases[int(rng.integers(0, len(aliases)))]
-        qt = _QUERY_TEMPLATES[int(rng.integers(0, len(_QUERY_TEMPLATES)))]
+        qt = templates[int(rng.integers(0, len(templates)))]
         qs.append(qt.format(c=c, y=y, a=a))
         rows = by_fact[fi]
         ps.append(ds.chunk_texts[rows[int(rng.integers(0, len(rows)))]])
@@ -375,6 +382,83 @@ def eval_hybrid(
                 rr += 1.0 / rank
                 break
     n = len(ds.queries)
+    return {f"hit@{k}": round(hits / n, 4), "mrr": round(rr / n, 4)}
+
+
+def eval_hybrid_e2e(
+    embed_fn, k: int = 10, fuse_mode: str = "sum", dense_weight: float = 0.5,
+    use_bm25: bool = True, vocab_bits: int = 16,
+) -> Dict[str, float]:
+    """The NON-template-shaped quality check (VERDICT r4 #5): the e2e
+    fixture's annual-report prose (eval/e2e.fixture_docs — three invented
+    companies, varied section structure, a positioned table page) queried
+    with its 17 golden questions through the ROUTED hybrid engine.
+
+    Scores retrieval only (no answering): hit@k = a top-k fused chunk from
+    the right company's gold page (year-matched when the question names
+    one), MRR truncated at the serving top_n.  Unlike
+    :func:`eval_hybrid`'s one-pot corpus, this runs the REAL route
+    (company + ±1-year window) — the deployment shape."""
+    import re as _re
+
+    from ..index.build import build_corpus_index
+    from ..retrieval.engine import QueryEngine, SearchConfig
+    from .e2e import GOLDEN_QA, fixture_docs
+
+    reports, chunk_lists = [], []
+    for doc in fixture_docs():
+        chunks, pages = [], []
+        cid = 0
+        for pno, page in enumerate(doc["pages"], start=1):
+            text = page if isinstance(page, str) else (
+                page["text"] + "\n"
+                + "\n".join(" ".join(row) for row in page.get("table", []))
+            )
+            pages.append({"page": pno, "text": text})
+            for para in text.split("\n"):
+                if para.strip():
+                    chunks.append({"page": pno, "text": para.strip(),
+                                   "id": cid, "type": "content"})
+                    cid += 1
+        reports.append({
+            "metainfo": {"sha1_name": doc["sha1"],
+                         "company_name": doc["company"],
+                         "year": doc["year"]},
+            "content": {"pages": pages, "chunks": chunks},
+        })
+        chunk_lists.append([c["text"] for c in chunks])
+
+    embs = [np.asarray(embed_fn(texts), np.float32) for texts in chunk_lists]
+    sha_info = {d["sha1"]: (d["company"], d["year"]) for d in fixture_docs()}
+    idx, meta = build_corpus_index(reports, embs, vocab_bits=vocab_bits)
+    eng = QueryEngine(idx, meta)
+    top_n = 30
+    cfg = SearchConfig(method="basic", use_bm25=use_bm25, top_n=top_n,
+                       top_k=top_n, bm25_top_k=top_n, max_queries=1,
+                       fuse_mode=fuse_mode, dense_weight=dense_weight)
+    hits, rr = 0.0, 0.0
+    for g in GOLDEN_QA:
+        q = g["question"]
+        ym = _re.search(r"(20\d{2})年", q)
+        want_year = int(ym.group(1)) if ym else None
+        qe = np.asarray(embed_fn([q]), np.float32)
+        res = eng.materialize(
+            eng.search(qe, g["company"], question=q, cfg=cfg,
+                       query_texts=[q]), cfg)
+
+        def gold(r) -> bool:
+            info = sha_info.get(r.get("source_sha1"))
+            return (info is not None and info[0] == g["company"]
+                    and (want_year is None or info[1] == want_year)
+                    and int(r["page"]) == g["gold_page"])
+
+        if any(gold(r) for r in res[:k]):
+            hits += 1
+        for rank, r in enumerate(res, start=1):
+            if gold(r):
+                rr += 1.0 / rank
+                break
+    n = len(GOLDEN_QA)
     return {f"hit@{k}": round(hits / n, 4), "mrr": round(rr / n, 4)}
 
 

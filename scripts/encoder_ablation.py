@@ -37,6 +37,7 @@ Usage: python scripts/encoder_ablation.py [arm ...]
 Writes incremental results to /tmp/enc_ablate.json.
 """
 import json
+import os
 import sys
 
 import numpy as np
@@ -341,3 +342,78 @@ if "v2_recipe5k" in which:
     json.dump(results, open(OUT, "w"), indent=1)
     from rag_challenge_2_tpu.models.pretrain import save_params
     save_params(m, "/tmp/enc_v2_recipe5k.npz")
+
+# ---------------------------------------------------------- round-5 arms
+
+if "v2_supervised" in which:
+    # VERDICT r4 #5: the supervised ceiling arm on TRANSFER corpus #2 —
+    # corpus #1's encoder_ict_supervised hit 1.0; if the architecture's
+    # supervised ceiling is corpus-#1-specific, this exposes it.  Recipe
+    # 5k label-free on ds2, then +2k supervised paraphrase steps from ds2
+    # TRAIN facts (v2 metrics/templates; eval facts unseen).
+    import jax.numpy as jnp
+
+    from rag_challenge_2_tpu.eval.encoder_quality import (
+        METRICS_V2, _QUERY_TEMPLATES_V2, build_dataset_v2, eval_dense,
+        eval_hybrid, paraphrase_pairs)
+    from rag_challenge_2_tpu.models.encoder import (
+        EmbeddingModel, tokenize_batch)
+    from rag_challenge_2_tpu.models.train import TrainConfig, init_training
+    from rag_challenge_2_tpu.parallel.mesh import make_mesh
+
+    ds2 = build_dataset_v2(seed=7)
+    base_path = "/tmp/enc_v2_recipe5k.npz"
+    if os.path.exists(base_path):
+        from rag_challenge_2_tpu.models.pretrain import load_params
+        base = load_params(EmbeddingModel(cfg), base_path)
+    else:
+        base, _ = pretrain_encoder(
+            ds2.chunk_texts, enc_cfg=cfg,
+            pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0))
+    import jax as _jax
+
+    mesh = make_mesh({"data": len(_jax.devices()), "model": 1})
+    _, _p0, opt_state, step = init_training(cfg, TrainConfig(lr=1e-4), mesh,
+                                            seed=0)
+    params = base.params
+    rng_sup = np.random.default_rng(1)
+    for i in range(2000):
+        qs, ps = paraphrase_pairs(ds2, 64, rng_sup, metrics=METRICS_V2,
+                                  templates=_QUERY_TEMPLATES_V2)
+        qt = jnp.asarray(tokenize_batch(qs, 64, cfg.vocab_bits))
+        pt = jnp.asarray(tokenize_batch(ps, 64, cfg.vocab_bits))
+        params, opt_state, _m = step(params, opt_state, qt, pt)
+    tuned = EmbeddingModel(cfg, params=params)
+    results["v2_supervised"] = eval_dense(tuned.embed, ds2)
+    print("v2_supervised", results["v2_supervised"], flush=True)
+    results["v2_supervised_hybrid"] = eval_hybrid(tuned.embed, ds2)
+    print("v2_supervised_hybrid", results["v2_supervised_hybrid"], flush=True)
+    json.dump(results, open(OUT, "w"), indent=1)
+
+if "e2e_fixture" in which:
+    # VERDICT r4 #5 second half: the label-free recipe trained on the e2e
+    # fixture's PROSE corpus (not a template generator), served through
+    # the routed hybrid graph — arms: sum-fusion preset / parity max /
+    # dense-only / bm25-weighted-out
+    from rag_challenge_2_tpu.eval.e2e import fixture_docs
+    from rag_challenge_2_tpu.eval.encoder_quality import eval_hybrid_e2e
+
+    chunks = []
+    for doc in fixture_docs():
+        for page in doc["pages"]:
+            text = page if isinstance(page, str) else (
+                page["text"] + "\n"
+                + "\n".join(" ".join(r) for r in page.get("table", [])))
+            chunks.extend(p.strip() for p in text.split("\n") if p.strip())
+    m_fx, info = pretrain_encoder(
+        chunks, enc_cfg=cfg,
+        pre_cfg=PretrainConfig(steps=5000, batch_size=64, seed=0))
+    results["e2e_fixture_hybrid_sum"] = eval_hybrid_e2e(m_fx.embed)
+    results["e2e_fixture_hybrid_max"] = eval_hybrid_e2e(
+        m_fx.embed, fuse_mode="max", dense_weight=1.0)
+    results["e2e_fixture_dense_only"] = eval_hybrid_e2e(
+        m_fx.embed, use_bm25=False)
+    for k in ("e2e_fixture_hybrid_sum", "e2e_fixture_hybrid_max",
+              "e2e_fixture_dense_only"):
+        print(k, results[k], flush=True)
+    json.dump(results, open(OUT, "w"), indent=1)

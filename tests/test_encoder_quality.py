@@ -147,3 +147,28 @@ def test_eval_hybrid_sum_fusion_bound():
     bm25 = eval_bm25(ds)
     assert m["hit@10"] >= 0.85
     assert m["hit@10"] >= bm25["hit@10"] - 1e-9
+
+
+def test_eval_hybrid_e2e_fixture_corpus():
+    """The non-template-shaped serving-quality eval (VERDICT r4 #5): the
+    e2e fixture prose + golden questions through the ROUTED hybrid graph.
+    A plain character-bigram embedder suffices for the plumbing bound;
+    the shipped sum-fusion must not lose to the dense arm alone."""
+    import numpy as np
+
+    from rag_challenge_2_tpu.eval.encoder_quality import eval_hybrid_e2e
+
+    D = 128
+
+    def hash_embed(texts):
+        out = np.zeros((len(texts), D), np.float32)
+        for i, t in enumerate(texts):
+            for j in range(len(t) - 1):
+                out[i, hash(t[j:j + 2]) % D] += 1.0
+        n = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(n, 1e-9)
+
+    served = eval_hybrid_e2e(hash_embed)                 # shipped preset
+    dense = eval_hybrid_e2e(hash_embed, use_bm25=False)
+    assert served["hit@10"] >= 0.9, served
+    assert served["hit@10"] >= dense["hit@10"], (served, dense)
