@@ -1600,17 +1600,22 @@ def main():
     # check below skips a section when elapsed + estimate would blow
     # RAGTPU_BENCH_BUDGET_S, so one slow build can no longer forfeit
     # everything after it (r4 lesson: rc=124, no parsed headline).
+    # Estimates are r5 measurements (hybrid_quality re-measured after the
+    # scan-chunked train loop: 1500-step arm 436 s → ~160 s).  Order =
+    # witness priority: the r4/r5 claims that have never appeared in a
+    # driver BENCH file (served quality, e2e accuracy, centroid-residual
+    # int8) run before the sections r1-r3 already witnessed.
     sections = [
-        ("hybrid_quality", bench_hybrid_quality, 150),
-        ("e2e", bench_e2e, 150),
+        ("hybrid_quality", bench_hybrid_quality, 380),
+        ("e2e", bench_e2e, 90),
+        ("int8_residual_10m", bench_int8_residual_10m, 260),
         ("microbatch_val", bench_microbatch_val, 30),
         ("qa_warm", bench_qa_warm, 60),
-        ("encoder", bench_encoder, 30),
-        ("traversal", bench_traversal, 40),
-        ("int8_10m", bench_int8_10m, 160),
-        ("int8_residual_10m", bench_int8_residual_10m, 150),
-        ("ivf_10m", bench_ivf_10m, 320),
+        ("encoder", bench_encoder, 40),
+        ("traversal", bench_traversal, 60),
         ("ivf_1m", bench_ivf_1m, 200),
+        ("int8_10m", bench_int8_10m, 160),
+        ("ivf_10m", bench_ivf_10m, 320),
         ("hybrid", bench_hybrid_at_scale, 90),
         ("traversal_1m", bench_traversal_1m, 130),
         ("traversal_10m", bench_traversal_10m, 130),

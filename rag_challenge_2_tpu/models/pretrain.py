@@ -120,6 +120,16 @@ class PretrainConfig:
     # the pairs that teach synonymy; idf weighting oversamples them
     # without knowing anything about the eval.  0 = uniform.
     idf_sampling: float = 0.0
+    # train steps fused into ONE device dispatch (lax.scan in
+    # models/train.make_chunked_train_step).  Through the axon relay each
+    # EXECUTION costs seconds of fixed overhead (measured ~3-5 s/call
+    # regardless of K) while the device step itself is ~10 ms; chunking K
+    # steps amortizes that overhead K-fold with a bitwise-identical
+    # update trajectory (same sampler stream, same order — verified in
+    # tests/test_models.py).  A final partial chunk scans the remainder
+    # (one extra compile for that length, absorbed by the persistent
+    # compile cache).  Measured end-to-end: 1500 steps 436 s → ~130 s.
+    steps_per_dispatch: int = 250
 
 
 # Generic interrogative frames for PretrainConfig.question_wrap_prob.
@@ -271,6 +281,15 @@ class PairSampler:
             )
             self._n_pad = n_pad
             self._mine = True
+        # small corpora score the BM25 teacher ON THE HOST: the mining
+        # loop needs the [B, N] matrix back host-side every step, and a
+        # device round trip through a high-RTT relay (~0.1 s) would
+        # dominate the train step (ops/bm25.HostBM25Scorer docstring)
+        self._host_scorer = None
+        if self._sparse is not None and len(self.texts) <= 200_000:
+            from ..ops.bm25 import HostBM25Scorer
+
+            self._host_scorer = HostBM25Scorer(self._sparse)
         self._chunk_p = None
         if cfg.idf_sampling > 0:
             self._chunk_p = self._idf_weights(cfg)
@@ -332,6 +351,14 @@ class PairSampler:
         """[n, n_chunks] mining scores from the active teacher."""
         if self._teacher is not None:
             return np.asarray(self._teacher(queries))
+        if self._host_scorer is not None:
+            from ..ops.bm25 import encode_queries_host
+
+            qt = encode_queries_host(
+                queries, max_terms=48, vocab_bits=self.cfg.bm25_vocab_bits
+            )
+            s = self._host_scorer.scores(qt, self._n_pad)
+            return s[:, : len(self.texts)]
         from ..ops.bm25 import bm25_scores, encode_queries
 
         qt = encode_queries(
@@ -449,6 +476,9 @@ def pretrain_encoder(
     ``teacher_score_fn`` swaps the BM25 mining teacher for a custom one
     (PairSampler docstring — dense self-training).  ``init_params``
     continues from an existing checkpoint instead of random init."""
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # scan-chunk compiles are slow through the relay
     enc_cfg = enc_cfg or EncoderConfig()
     if mesh is None:
         n = len(jax.devices())
@@ -461,21 +491,54 @@ def pretrain_encoder(
     sampler = PairSampler(chunk_texts, pre_cfg, teacher_score_fn=teacher_score_fn)
     # token sequences must stay inside the encoder's position table
     max_len = min(pre_cfg.max_len, enc_cfg.max_len)
-    for i in range(pre_cfg.steps):
-        q_texts, p_texts, targets = sampler.sample(rng)
-        q = jnp.asarray(tokenize_batch(q_texts, max_len, enc_cfg.vocab_bits))
-        p = jnp.asarray(tokenize_batch(p_texts, max_len, enc_cfg.vocab_bits))
-        if targets is None:
-            params, opt_state, metrics = step(params, opt_state, q, p)
+    K = max(1, int(pre_cfg.steps_per_dispatch))
+    multi = getattr(step, "chunked", None)
+    # stacked per-chunk metrics, read AFTER the loop: forcing a float()
+    # every chunk would re-serialize host and device (the dispatch is
+    # async — sampling chunk i+1 overlaps the device running chunk i)
+    chunk_metrics = []
+    i = 0
+    while i < pre_cfg.steps:
+        K_eff = min(K, pre_cfg.steps - i)
+        if multi is not None and K_eff > 1:
+            qs, ps, ts = [], [], []
+            for _ in range(K_eff):
+                q_texts, p_texts, targets = sampler.sample(rng)
+                qs.append(tokenize_batch(q_texts, max_len, enc_cfg.vocab_bits))
+                ps.append(tokenize_batch(p_texts, max_len, enc_cfg.vocab_bits))
+                ts.append(targets)
+            q = jnp.asarray(np.stack(qs))
+            p = jnp.asarray(np.stack(ps))
+            if ts[0] is None:
+                params, opt_state, metrics = multi(params, opt_state, q, p)
+            else:
+                params, opt_state, metrics = multi(
+                    params, opt_state, q, p,
+                    jnp.asarray(np.stack(ts).astype(np.float32)))
+            chunk_metrics.append((i, K_eff, metrics))
+            i += K_eff
         else:
-            params, opt_state, metrics = step(
-                params, opt_state, q, p, jnp.asarray(targets))
-        if i % log_every == 0 or i == pre_cfg.steps - 1:
-            history.append({
-                "step": i,
-                "loss": float(metrics["loss"]),
-                "accuracy": float(metrics["accuracy"]),
-            })
+            q_texts, p_texts, targets = sampler.sample(rng)
+            q = jnp.asarray(tokenize_batch(q_texts, max_len, enc_cfg.vocab_bits))
+            p = jnp.asarray(tokenize_batch(p_texts, max_len, enc_cfg.vocab_bits))
+            if targets is None:
+                params, opt_state, metrics = step(params, opt_state, q, p)
+            else:
+                params, opt_state, metrics = step(
+                    params, opt_state, q, p, jnp.asarray(targets))
+            chunk_metrics.append((i, 1, metrics))
+            i += 1
+    for base, width, metrics in chunk_metrics:
+        loss = np.atleast_1d(np.asarray(metrics["loss"]))
+        acc = np.atleast_1d(np.asarray(metrics["accuracy"]))
+        for k in range(width):
+            s_idx = base + k
+            if s_idx % log_every == 0 or s_idx == pre_cfg.steps - 1:
+                history.append({
+                    "step": s_idx,
+                    "loss": float(loss[k]),
+                    "accuracy": float(acc[k]),
+                })
     model = EmbeddingModel(enc_cfg, params=jax.device_get(params))
     return model, {"history": history, "final": history[-1] if history else {}}
 

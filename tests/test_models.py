@@ -646,3 +646,58 @@ def test_build_dataset_v2_transfer_corpus():
         for q in ds2.queries
     )
     assert hit == len(ds2.queries)
+
+
+def test_host_teacher_matches_device_bm25_scores():
+    """PairSampler's host mining teacher (ops/bm25.HostBM25Scorer) must
+    reproduce the device kernel's scores: same Lucene idf/k1/b formula
+    over the same CSR — the whole point is removing a per-step device
+    round trip WITHOUT changing which neighbors get mined."""
+    from rag_challenge_2_tpu.models.pretrain import PretrainConfig, PairSampler
+    from rag_challenge_2_tpu.ops.bm25 import bm25_scores, encode_queries
+
+    texts = [
+        f"公司{c}在{y}年的营业收入为{v}亿元，同比增长{v % 7}个百分点" for c in "甲乙丙"
+        for y, v in zip(range(2018, 2026), range(8))
+    ] + ["营业收入（亦称营收）指企业经营活动形成的收入总额"]
+    cfg = PretrainConfig(steps=1, batch_size=4, min_span=4)
+    s = PairSampler(texts, cfg)
+    assert s._host_scorer is not None
+    queries = [t[:12] for t in texts[:6]] + ["营收情况如何"]
+    qt = encode_queries(queries, max_terms=48, vocab_bits=cfg.bm25_vocab_bits)
+    dev = np.asarray(bm25_scores(s._sparse, qt, s._n_pad))
+    host = s._host_scorer.scores(np.asarray(qt), s._n_pad)
+    np.testing.assert_allclose(host, dev, rtol=2e-5, atol=2e-5)
+    # empty queries (no postings at all) short-circuit to zeros
+    empty = np.full((2, 48), -1, np.int32)
+    assert s._host_scorer.scores(empty, s._n_pad).sum() == 0.0
+
+
+def test_chunked_pretrain_trajectory_identical():
+    """steps_per_dispatch only amortizes dispatch overhead: the scan-of-K
+    update (models/train.make_chunked_train_step) must produce the SAME
+    final parameters as K single steps — same sampler stream, same
+    update order (a partial final chunk included)."""
+    from rag_challenge_2_tpu.models.encoder import EncoderConfig
+    from rag_challenge_2_tpu.models.pretrain import PretrainConfig, pretrain_encoder
+
+    texts = [
+        f"公司{c} {y}年 指标{m} 为 {v} 亿元" for c in "ABC"
+        for y, (m, v) in zip(range(2018, 2024), enumerate(range(6)))
+    ]
+    enc = EncoderConfig(d_model=32, n_layers=1, n_heads=2, d_ff=64,
+                        max_len=32, out_dim=16)
+    runs = []
+    for k in (1, 3):  # 3 does not divide 7: exercises the partial chunk
+        m, h = pretrain_encoder(
+            texts, enc_cfg=enc,
+            pre_cfg=PretrainConfig(steps=7, batch_size=8, min_span=4,
+                                   steps_per_dispatch=k),
+        )
+        runs.append((m.params, h))
+    l1 = jax.tree_util.tree_leaves(runs[0][0])
+    l2 = jax.tree_util.tree_leaves(runs[1][0])
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # history entries line up too (log_every grid over both paths)
+    assert runs[0][1]["final"] == runs[1][1]["final"]
