@@ -130,6 +130,13 @@ class PretrainConfig:
     # (one extra compile for that length, absorbed by the persistent
     # compile cache).  Measured end-to-end: 1500 steps 436 s → ~130 s.
     steps_per_dispatch: int = 250
+    # mining-teacher placement: the host scorer (ops/bm25.HostBM25Scorer)
+    # matches the device kernel to f32 rounding, so near-tied neighbor
+    # argmaxes can break differently — statistically equivalent training,
+    # not bitwise-reproducing the pre-r5 recorded arms (which used the
+    # device teacher).  False forces the device kernel for exact replay
+    # of docs/ENCODER_QUALITY.json trajectories.
+    host_teacher: bool = True
 
 
 # Generic interrogative frames for PretrainConfig.question_wrap_prob.
@@ -286,7 +293,8 @@ class PairSampler:
         # device round trip through a high-RTT relay (~0.1 s) would
         # dominate the train step (ops/bm25.HostBM25Scorer docstring)
         self._host_scorer = None
-        if self._sparse is not None and len(self.texts) <= 200_000:
+        if (cfg.host_teacher and self._sparse is not None
+                and len(self.texts) <= 200_000):
             from ..ops.bm25 import HostBM25Scorer
 
             self._host_scorer = HostBM25Scorer(self._sparse)

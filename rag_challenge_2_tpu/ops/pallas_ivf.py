@@ -58,7 +58,7 @@ def _spans_per_program(w_rows: int, dim: int, itemsize: int) -> int:
     return max(1, min(_SPANS_PER_PROGRAM, _VMEM_SPAN_BUDGET // max(per_span, 1)))
 
 
-def _make_kernel(w_rows: int, P: int, acc_dtype):
+def _make_kernel(w_rows: int, P: int, acc_dtype, store_dtype):
     def kernel(rows_ref, q_ref, emb_hbm, out_ref, scr, sems):
         base = pl.program_id(0) * P
         cps = []
@@ -84,9 +84,14 @@ def _make_kernel(w_rows: int, P: int, acc_dtype):
                 # regression: 0.9732 vs 0.9992 @ nprobe=8, same index —
                 # scripts/ivf_regression_probe.py).  The probe is
                 # DMA-bound, so the extra MXU passes are hidden.  int8
-                # stores accumulate exactly in int32 either way.
+                # stores accumulate exactly in int32 either way.  The
+                # gate is on the STORE dtype, not acc_dtype: bf16 rows
+                # also accumulate f32, but an fp32 contract precision on
+                # bf16 operands is ill-typed for Mosaic ("Bad lhs type",
+                # witnessed on-chip r5) — bf16 stores take the default
+                # single-pass MXU contract, which is exactly their point.
                 precision=(jax.lax.Precision.HIGHEST
-                           if acc_dtype == jnp.float32 else None),
+                           if store_dtype == jnp.float32 else None),
             )
             out_ref[pl.ds(j, 1), 0, :] = acc.astype(jnp.float32)
 
@@ -142,7 +147,7 @@ def probe_span_scores(
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(w_rows, P, acc),
+        _make_kernel(w_rows, P, acc, emb_perm.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Gp, 1, w_rows), jnp.float32),
         interpret=interpret,

@@ -538,3 +538,28 @@ def test_faiss_parity_vs_faiss():
     # parity bar: within 3 points of faiss's own curve at the same
     # (K, nprobe) — k-means seeds differ, exact equality is not defined
     assert r_tpu >= r_faiss - 0.03, (r_tpu, r_faiss)
+
+
+def test_pallas_probe_bf16_store_matches_xla():
+    """bf16 stores must run the span kernel with the DEFAULT MXU contract:
+    requesting fp32 contract precision on bf16 operands is ill-typed for
+    Mosaic ("Bad lhs type", witnessed on the real chip r5 — the HIGHEST
+    gate keys on the STORE dtype now, ops/pallas_ivf._make_kernel).  The
+    kernel's candidate set must match the XLA probe path at equal store
+    dtype."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(16, 128)).astype(np.float32)
+    a = rng.integers(0, 16, 4096)
+    x = centers[a] + 0.3 * rng.normal(size=(4096, 128)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ivf = build_ivf(jnp.asarray(x), n_clusters=32, iters=5)
+    ivf16 = dataclasses.replace(
+        ivf, emb_perm=ivf.emb_perm.astype(jnp.bfloat16))
+    q = jnp.asarray(x[:8])
+    _, rp = ivf_search(ivf16, q, 10, nprobe=4, impl="pallas")
+    _, rx = ivf_search(ivf16, q, 10, nprobe=4, impl="xla")
+    gp, gx = np.asarray(rp), np.asarray(rx)
+    overlap = np.mean([len(set(gp[i]) & set(gx[i])) / 10 for i in range(8)])
+    assert overlap >= 0.9, overlap
