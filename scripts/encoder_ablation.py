@@ -28,6 +28,19 @@ Round-4 arms (same eval unless noted):
                           init (0.315) and BEATS BM25-alone (0.67);
                           the recipe is not fit to corpus #1's templates
 
+Round-5 arms (recorded in docs/ENCODER_QUALITY.json):
+
+  v2_supervised   1.0     supervised ceiling on the TRANSFER corpus:
+                          recipe-5k base + 2k supervised steps → 1.0/1.0
+                          (the ceiling is not corpus-#1-specific); the
+                          same arm served through sum-fusion: 0.915 — a
+                          measured instance of the sum-fusion failure
+                          mode (perfect dense partially buried by BM25)
+  e2e_fixture     1.0     recipe 5k on the e2e fixture's PROSE corpus,
+                          served through the routed graph: hit@10 1.0
+                          under both fusion modes; dense-only 0.941
+                          with the best MRR (0.40)
+
 Run one arm per process: the axon relay accumulates host buffers over
 ~10k+ dispatches and a multi-arm process gets OOM-killed.  Arms save
 params to /tmp/enc_<arm>.npz; selftrain_from warm-starts from
@@ -377,12 +390,20 @@ if "v2_supervised" in which:
                                             seed=0)
     params = base.params
     rng_sup = np.random.default_rng(1)
-    for i in range(2000):
-        qs, ps = paraphrase_pairs(ds2, 64, rng_sup, metrics=METRICS_V2,
-                                  templates=_QUERY_TEMPLATES_V2)
-        qt = jnp.asarray(tokenize_batch(qs, 64, cfg.vocab_bits))
-        pt = jnp.asarray(tokenize_batch(ps, 64, cfg.vocab_bits))
-        params, opt_state, _m = step(params, opt_state, qt, pt)
+    # scan-chunked dispatches (models/train.make_chunked_train_step):
+    # 2000 single dispatches through the relay would be ~10 min of pure
+    # per-execution overhead
+    K = 250
+    for c in range(2000 // K):
+        qts, pts = [], []
+        for _ in range(K):
+            qs, ps = paraphrase_pairs(ds2, 64, rng_sup, metrics=METRICS_V2,
+                                      templates=_QUERY_TEMPLATES_V2)
+            qts.append(tokenize_batch(qs, 64, cfg.vocab_bits))
+            pts.append(tokenize_batch(ps, 64, cfg.vocab_bits))
+        params, opt_state, _m = step.chunked(
+            params, opt_state, jnp.asarray(np.stack(qts)),
+            jnp.asarray(np.stack(pts)))
     tuned = EmbeddingModel(cfg, params=params)
     results["v2_supervised"] = eval_dense(tuned.embed, ds2)
     print("v2_supervised", results["v2_supervised"], flush=True)
